@@ -1,0 +1,85 @@
+"""Test configuration.
+
+- Forces JAX onto CPU with 8 virtual devices so pjit/collective tests run
+  without a TPU pod (the JAX-native way to test sharding: SURVEY.md §4).
+- Installs import stubs (pytorch_lightning, pytorchvideo, torchvision,
+  torchmetrics, timm) so the *reference* implementation at /root/reference can
+  be imported read-only for golden-value parity tests. We never execute
+  reference training code — only its pure-torch model math.
+"""
+
+import os
+import sys
+import types
+
+# Force CPU with 8 virtual devices. Note: in this image a sitecustomize module
+# registers the TPU backend at interpreter startup and sets
+# jax_platforms="axon,cpu", so the env var alone is not enough — we also update
+# jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+REFERENCE_DIR = "/root/reference"
+
+
+def _module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return sys.modules[name]
+
+
+def install_reference_stubs():
+    def rank_zero_only(fn):
+        return fn
+
+    pl = _module("pytorch_lightning", LightningModule=object, LightningDataModule=object)
+    _module("pytorch_lightning.utilities")
+    _module("pytorch_lightning.utilities.distributed", rank_zero_only=rank_zero_only)
+    pl.utilities = sys.modules["pytorch_lightning.utilities"]
+    sys.modules["pytorch_lightning.utilities"].distributed = sys.modules[
+        "pytorch_lightning.utilities.distributed"
+    ]
+
+    def _missing(*a, **k):
+        raise ImportError("pytorchvideo stub: MViT reference path not available")
+
+    _module("pytorchvideo")
+    _module("pytorchvideo.layers", MultiScaleBlock=_missing, SpatioTemporalClsPositionalEncoding=_missing)
+    _module(
+        "pytorchvideo.layers.utils",
+        round_width=lambda width, multiplier, min_width=1, divisor=1, ceil=False: width,
+        set_attributes=lambda obj, params=None: [
+            setattr(obj, k, v) for k, v in (params or {}).items() if k != "self"
+        ],
+    )
+    sys.modules["pytorchvideo"].layers = sys.modules["pytorchvideo.layers"]
+    sys.modules["pytorchvideo.layers"].utils = sys.modules["pytorchvideo.layers.utils"]
+    _module("pytorchvideo.models")
+    _module("pytorchvideo.models.vision_transformers", MultiscaleVisionTransformers=_missing)
+    sys.modules["pytorchvideo"].models = sys.modules["pytorchvideo.models"]
+    sys.modules["pytorchvideo.models"].vision_transformers = sys.modules[
+        "pytorchvideo.models.vision_transformers"
+    ]
+
+    _module("torchvision")
+    _module("torchmetrics", Accuracy=object)
+    _module("timm")
+    _module("timm.loss", SoftTargetCrossEntropy=object)
+    sys.modules["timm"].loss = sys.modules["timm.loss"]
+
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+
+
+install_reference_stubs()

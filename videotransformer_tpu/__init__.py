@@ -1,0 +1,17 @@
+"""videotransformer_tpu — a TPU-native (JAX/XLA/Pallas/pjit) video-transformer framework.
+
+A from-scratch rebuild of the capabilities of ``mx-mark/VideoTransformer-pytorch``
+(reference at /root/reference) designed TPU-first:
+
+- Models (TimeSformer, ViViT, MViT/MaskFeat) are flax.linen modules whose math maps
+  onto the MXU (large bf16 matmuls, static shapes, no data-dependent control flow).
+- The hot attention paths have Pallas TPU kernels (``videotransformer_tpu.kernels``).
+- Parallelism is expressed with ``jax.sharding`` over a device ``Mesh`` — gradients
+  reduce via XLA collectives on ICI, not a DDP process group.
+- Video decode is a native C++ FFmpeg stage on the host feeding an async prefetch
+  queue; all image augmentation runs on device inside XLA.
+
+Reference capability map: see /root/repo/SURVEY.md.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,388 @@
+"""PyTorch state-dict <-> flax param-tree conversion and checkpoint surgery.
+
+This is the TPU-native counterpart of reference weight_init.py: it lets published
+PyTorch checkpoints (ViT-21k ImageNet, MAE, Kinetics-trained reference ckpts)
+seed our flax models, and powers the golden parity tests (copy reference weights
+into the JAX model, compare logits).
+
+Key mapping (reference module path -> flax param path):
+- ``transformer_layers.layers.{i}``          -> ``transformer_layers/layers_{i}``
+- ``transformer_layers.{0,1}.layers.{i}``    -> ``{spatial,temporal}_transformer/layers_{i}``
+  (ViViT fact_encoder, video_transformer.py:374-398)
+- ``attentions.{j}`` / ``ffns.{j}``          -> ``attentions_{j}`` / ``ffns_{j}``
+- FFN inner ``layers.0.0`` / ``layers.1``    -> ``layers_0`` / ``layers_1``
+  (reference FFNWithPreNorm builds Sequential(Linear,GELU,Dropout) + Linear,
+  transformer.py:496-507)
+- Linear ``weight`` (out,in)                 -> ``kernel`` (in,out)  [transpose]
+- Conv2d ``weight`` (o,i,kh,kw)              -> ``kernel`` (kh,kw,i,o)
+- Conv3d ``weight`` (o,i,kt,kh,kw)           -> ``kernel`` (kt,kh,kw,i,o)
+- LayerNorm ``weight``                       -> ``scale``
+
+Checkpoint surgery mirrors reference weight_init.py:
+- ``replace_state_dict`` (:17-28): strip ``model.``/cls_head prefixes,
+  ``in_proj_ -> qkv.``, ``out_proj -> proj``.
+- ``init_from_vit_pretrain_`` (:106-184): Conv2d->Conv3d tubelet inflation
+  (temporal_avg / center_frame), fact_encoder container remap, norm-key remap,
+  spatial->temporal attention copy (repeat / set_zero), fact_encoder copies the
+  first ``num_time_transformer_layers`` spatial layers into the temporal stack.
+- ``init_from_mae_pretrain_`` (:187-302): MAE naming variant incl. the
+  q_bias/zeros/v_bias concatenation into qkv.bias.
+"""
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# torch-style state-dict surgery (all on numpy arrays; torch only for .pth IO)
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth/.pt checkpoint into {key: np.ndarray}."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    if isinstance(state, dict) and "model" in state and all(
+        not hasattr(v, "numpy") for k, v in state.items() if k != "model"
+    ):
+        state = state["model"]
+    return {k: v.detach().cpu().numpy() for k, v in state.items() if hasattr(v, "detach")}
+
+
+def replace_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Reference weight_init.py:17-28: strip lightning prefixes, qkv/proj remap."""
+    out = {}
+    for old_key, v in state_dict.items():
+        if old_key.startswith("model"):
+            new_key = old_key[6:]
+            if "in_proj" in new_key:
+                new_key = new_key.replace("in_proj_", "qkv.")
+            elif "out_proj" in new_key:
+                new_key = new_key.replace("out_proj", "proj")
+        else:  # cls_head.cls_head.* -> cls_head.*
+            new_key = old_key[9:]
+        out[new_key] = v
+    return out
+
+
+def surgery_from_vit_pretrain(
+    state_dict: Dict[str, np.ndarray],
+    conv_type: str,
+    attention_type: str,
+    copy_strategy: str = "repeat",
+    extend_strategy: str = "temporal_avg",
+    tube_size: int = 2,
+    num_time_transformer_layers: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Reference init_from_vit_pretrain_ (weight_init.py:106-184), minus the IO."""
+    state_dict = dict(state_dict)
+
+    for old_key in list(state_dict.keys()):
+        if conv_type == "Conv3d" and "patch_embed.projection.weight" in old_key:
+            weight = state_dict[old_key]  # (o, i, kh, kw)
+            new_weight = np.repeat(weight[:, :, None], tube_size, axis=2)
+            if extend_strategy == "temporal_avg":
+                new_weight = new_weight / tube_size
+            elif extend_strategy == "center_frame":
+                new_weight = np.zeros_like(new_weight)
+                new_weight[:, :, tube_size // 2] = weight
+            state_dict[old_key] = new_weight
+            continue
+
+        if attention_type == "fact_encoder":
+            new_key = old_key.replace(
+                "transformer_layers.layers", "transformer_layers.0.layers"
+            )
+        else:
+            new_key = old_key
+
+        if "in_proj" in new_key:
+            new_key = new_key.replace("in_proj_", "qkv.")
+        elif "out_proj" in new_key:
+            new_key = new_key.replace("out_proj", "proj")
+
+        if "norms" in new_key:
+            new_key = new_key.replace("norms.0", "attentions.0.norm")
+            new_key = new_key.replace("norms.1", "ffns.0.norm")
+
+        state_dict[new_key] = state_dict.pop(old_key)
+
+    for old_key in list(state_dict.keys()):
+        if attention_type == "divided_space_time":
+            if "attentions.0" in old_key:
+                new_key = old_key.replace("attentions.0", "attentions.1")
+                if copy_strategy == "repeat":
+                    state_dict[new_key] = state_dict[old_key].copy()
+                elif copy_strategy == "set_zero":
+                    state_dict[new_key] = np.zeros_like(state_dict[old_key])
+        elif attention_type == "fact_encoder":
+            matches = re.findall(r"(?<=layers\.)\d+", old_key)
+            if len(matches) > 1 and int(matches[1]) < num_time_transformer_layers:
+                new_key = old_key.replace(
+                    "transformer_layers.0.layers", "transformer_layers.1.layers"
+                )
+                if copy_strategy == "repeat":
+                    state_dict[new_key] = state_dict[old_key].copy()
+                elif copy_strategy == "set_zero":
+                    state_dict[new_key] = np.zeros_like(state_dict[old_key])
+    return state_dict
+
+
+def surgery_from_mae_pretrain(
+    state_dict: Dict[str, np.ndarray],
+    conv_type: str,
+    attention_type: str,
+    copy_strategy: str = "repeat",
+    extend_strategy: str = "temporal_avg",
+    tube_size: int = 2,
+    num_time_transformer_layers: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Reference init_from_mae_pretrain_ (weight_init.py:187-302), minus the IO."""
+    state_dict = dict(state_dict)
+
+    for old_key in list(state_dict.keys()):
+        if old_key not in state_dict:
+            continue
+        if "decoder" in old_key:
+            state_dict.pop(old_key)
+            continue
+
+        if "encoder.patch_embed.proj" in old_key:
+            new_key = old_key.replace("encoder.patch_embed.proj", "patch_embed.projection")
+            if conv_type == "Conv3d" and "weight" in old_key:
+                weight = state_dict[old_key]
+                new_weight = np.repeat(weight[:, :, None], tube_size, axis=2)
+                if extend_strategy == "temporal_avg":
+                    new_weight = new_weight / tube_size
+                elif extend_strategy == "center_frame":
+                    new_weight = np.zeros_like(new_weight)
+                    new_weight[:, :, tube_size // 2] = weight
+                state_dict.pop(old_key)
+                state_dict[new_key] = new_weight
+            else:
+                state_dict[new_key] = state_dict.pop(old_key)
+            continue
+
+        if attention_type == "fact_encoder":
+            new_key = old_key.replace("encoder.blocks", "transformer_layers.0.layers")
+        else:
+            new_key = old_key.replace("encoder.blocks", "transformer_layers.layers")
+
+        if "norm" in new_key:
+            new_key = new_key.replace("norm1", "attentions.0.norm")
+            new_key = new_key.replace("norm2", "ffns.0.norm")
+        elif "attn" in new_key:
+            if "q_bias" in new_key:
+                block_id = int(re.findall(r"(?<=blocks\.)\d+", old_key)[0])
+                q_bias = state_dict[f"encoder.blocks.{block_id}.attn.q_bias"]
+                v_bias = state_dict[f"encoder.blocks.{block_id}.attn.v_bias"]
+                qkv_bias = np.concatenate([q_bias, np.zeros_like(q_bias), v_bias])
+                new_key = new_key.replace("attn.q_bias", "attentions.0.attn.qkv.bias")
+                state_dict.pop(f"encoder.blocks.{block_id}.attn.q_bias")
+                state_dict.pop(f"encoder.blocks.{block_id}.attn.v_bias")
+                state_dict[new_key] = qkv_bias
+                continue
+            elif "v_bias" in new_key:
+                continue
+            new_key = new_key.replace("attn.qkv", "attentions.0.attn.qkv")
+            new_key = new_key.replace("attn.proj", "attentions.0.attn.proj")
+        elif "mlp" in new_key:
+            new_key = new_key.replace("mlp.fc1", "ffns.0.layers.0.0")
+            new_key = new_key.replace("mlp.fc2", "ffns.0.layers.1")
+
+        if "encoder.norm" in old_key:
+            new_key = old_key.replace("encoder.norm", "norm")
+
+        state_dict[new_key] = state_dict.pop(old_key)
+
+    for old_key in list(state_dict.keys()):
+        if attention_type == "divided_space_time":
+            if "attentions.0" in old_key:
+                new_key = old_key.replace("attentions.0", "attentions.1")
+                if copy_strategy == "repeat":
+                    state_dict[new_key] = state_dict[old_key].copy()
+                elif copy_strategy == "set_zero":
+                    state_dict[new_key] = np.zeros_like(state_dict[old_key])
+        elif attention_type == "fact_encoder":
+            matches = re.findall(r"(?<=layers\.)\d+", old_key)
+            if len(matches) > 1 and int(matches[1]) < num_time_transformer_layers:
+                new_key = old_key.replace(
+                    "transformer_layers.0.layers", "transformer_layers.1.layers"
+                )
+                if copy_strategy == "repeat":
+                    state_dict[new_key] = state_dict[old_key].copy()
+                elif copy_strategy == "set_zero":
+                    state_dict[new_key] = np.zeros_like(state_dict[old_key])
+    return state_dict
+
+
+# ---------------------------------------------------------------------------
+# torch key path -> flax param path
+# ---------------------------------------------------------------------------
+
+def _map_key(key: str, fact_encoder: bool) -> Tuple[str, ...]:
+    """Map one reference param path to a flax param-tree path (without the leaf)."""
+    parts = key.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "transformer_layers" and fact_encoder and i + 1 < len(parts) and parts[i + 1] in ("0", "1"):
+            out.append("spatial_transformer" if parts[i + 1] == "0" else "temporal_transformer")
+            i += 2
+            # skip following "layers" + idx into layers_{idx}
+            if i + 1 < len(parts) and parts[i] == "layers":
+                out.append(f"layers_{parts[i + 1]}")
+                i += 2
+            continue
+        if p in ("layers", "attentions", "ffns") and i + 1 < len(parts) and parts[i + 1].isdigit():
+            # FFN inner Sequential: layers.0.0 -> layers_0 ; layers.1 -> layers_1
+            # (the trailing ".0" is the Linear inside Sequential(Linear,GELU,Dropout);
+            # it is always the final segment since the weight/bias leaf is stripped)
+            idx = parts[i + 1]
+            if p == "layers" and i + 2 == len(parts) - 1 and parts[i + 2] == "0":
+                out.append(f"layers_{idx}")
+                i += 3
+                continue
+            out.append(f"{p}_{idx}")
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    return tuple(out)
+
+
+def _convert_leaf(path: Tuple[str, ...], leaf: str, value: np.ndarray):
+    """Map a torch parameter tensor to the flax (name, array)."""
+    if leaf == "weight":
+        if value.ndim == 1:  # LayerNorm
+            return "scale", value
+        if value.ndim == 2:  # Linear
+            return "kernel", value.T
+        if value.ndim == 4:  # Conv2d (o,i,kh,kw) -> (kh,kw,i,o)
+            return "kernel", value.transpose(2, 3, 1, 0)
+        if value.ndim == 5:  # Conv3d (o,i,kt,kh,kw) -> (kt,kh,kw,i,o)
+            return "kernel", value.transpose(2, 3, 4, 1, 0)
+        raise ValueError(f"Unhandled weight ndim {value.ndim} at {path}")
+    if leaf == "bias":
+        return "bias", value
+    # plain parameters: cls_token, pos_embed, time_embed, mask_token
+    return leaf, value
+
+
+def torch_to_flax_params(
+    state_dict: Dict[str, np.ndarray],
+    attention_type: str = "divided_space_time",
+) -> Dict[str, Any]:
+    """Convert a (post-surgery) reference state dict into a nested flax param dict."""
+    fact = attention_type == "fact_encoder"
+    tree: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] in ("weight", "bias"):
+            path = _map_key(".".join(parts[:-1]), fact)
+            leaf, arr = _convert_leaf(path, parts[-1], value)
+        else:
+            path = _map_key(".".join(parts[:-1]), fact) if len(parts) > 1 else ()
+            leaf, arr = _convert_leaf(path, parts[-1], value)
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = np.asarray(arr)
+    return tree
+
+
+def merge_params(flax_params: Dict[str, Any], imported: Dict[str, Any], _path=""):
+    """Non-strict merge (reference ``load_state_dict(strict=False)`` semantics).
+
+    Returns (merged, missing_keys, unexpected_keys). ``merged`` has the same
+    treedef as ``flax_params``; leaves present in ``imported`` with matching
+    shapes are replaced.
+    """
+    import jax.numpy as jnp
+
+    missing, unexpected = [], []
+
+    def rec(dst, src, path):
+        out = {}
+        src = src or {}
+        for k, v in dst.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                sub = src.get(k)
+                if sub is not None and not isinstance(sub, dict):
+                    unexpected.append(p)
+                    sub = None
+                out[k] = rec(v, sub, p)
+            else:
+                if k in src and not isinstance(src[k], dict):
+                    arr = np.asarray(src[k])
+                    if tuple(arr.shape) == tuple(v.shape):
+                        out[k] = jnp.asarray(arr, dtype=v.dtype)
+                    else:
+                        unexpected.append(f"{p} (shape {arr.shape} vs {tuple(v.shape)})")
+                        out[k] = v
+                else:
+                    missing.append(p)
+                    out[k] = v
+        for k in src:
+            p = f"{path}/{k}" if path else k
+            if k not in dst:
+                unexpected.append(p)
+        return out
+
+    merged = rec(flax_params, imported, _path)
+    return merged, missing, unexpected
+
+
+# ---------------------------------------------------------------------------
+# high-level loaders (reference init_from_* equivalents)
+# ---------------------------------------------------------------------------
+
+def init_from_vit_pretrain(
+    params, pretrain_path, conv_type, attention_type, copy_strategy,
+    extend_strategy="temporal_avg", tube_size=2, num_time_transformer_layers=4,
+    verbose=True,
+):
+    sd = load_torch_state_dict(pretrain_path)
+    sd = surgery_from_vit_pretrain(
+        sd, conv_type, attention_type, copy_strategy, extend_strategy,
+        tube_size, num_time_transformer_layers,
+    )
+    imported = torch_to_flax_params(sd, attention_type)
+    merged, missing, unexpected = merge_params(params, imported)
+    if verbose:
+        print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
+    return merged
+
+
+def init_from_mae_pretrain(
+    params, pretrain_path, conv_type, attention_type, copy_strategy,
+    extend_strategy="temporal_avg", tube_size=2, num_time_transformer_layers=4,
+    verbose=True,
+):
+    sd = load_torch_state_dict(pretrain_path)
+    sd = surgery_from_mae_pretrain(
+        sd, conv_type, attention_type, copy_strategy, extend_strategy,
+        tube_size, num_time_transformer_layers,
+    )
+    imported = torch_to_flax_params(sd, attention_type)
+    merged, missing, unexpected = merge_params(params, imported)
+    if verbose:
+        print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
+    return merged
+
+
+def init_from_kinetics_pretrain(params, pretrain_path, attention_type="divided_space_time", verbose=True):
+    """Reference init_from_kinetics_pretrain_ (weight_init.py:305-315)."""
+    sd = load_torch_state_dict(pretrain_path)
+    sd = replace_state_dict(sd)
+    imported = torch_to_flax_params(sd, attention_type)
+    merged, missing, unexpected = merge_params(params, imported)
+    if verbose:
+        print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
+    return merged

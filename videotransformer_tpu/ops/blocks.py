@@ -1,0 +1,575 @@
+"""Transformer building blocks, TPU-native.
+
+Functional/flax.linen re-design of the reference op library (reference
+transformer.py — see SURVEY.md §2.1 #7). Behavioral parity targets, with
+citations into /root/reference:
+
+- ``Attention``: fused-QKV multi-head self-attention (transformer.py:153-177).
+- ``DividedTemporalAttention`` / ``DividedSpatialAttention``: prenorm divided
+  space-time attention with the exact cls-token plumbing and reshape order of
+  transformer.py:179-382 (patch-major ``b (p t) d`` token layout; zero-initialized
+  ``temporal_fc`` when the cls token is absent, transformer.py:228-232; cls token
+  averaged over the folded axis when present, transformer.py:270-277 / 370-377).
+- ``JointAttention``: prenorm joint space-time MHSA (transformer.py:385-456).
+- ``FFN``: prenorm MLP with exact-erf GELU (transformer.py:459-523; torch
+  nn.GELU is the erf form, so ``approximate=False`` here).
+- ``BasicTransformerBlock`` / ``TransformerContainer``: operator assembly with the
+  ``use_cls_token = (i == len(order) - 2)`` rule (transformer.py:602-612) and
+  DropPath rates linspace(0, drop_path_rate) across depth (transformer.py:543).
+- ``PatchEmbed``: Conv2d per-frame or Conv3d tubelet embedding
+  (transformer.py:83-151) as lax convs in NHWC/NDHWC layout for the MXU.
+- ``ClassificationHead`` (transformer.py:45-80), ``get_sine_cosine_pos_emb``
+  (transformer.py:12-22), ``drop_path`` (transformer.py:25-42).
+
+LayerNorm eps is 1e-5 (torch default) inside blocks; models use 1e-6 for the
+final norm (video_transformer.py:119).
+
+All reshapes between the flat token sequence ``b (p t) d`` and the divided
+attention layouts are pure reshape/transpose — XLA fuses them into the
+surrounding matmuls; there is no data movement cost on TPU for the reshape-only
+(temporal) direction.
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videotransformer_tpu import config as vt_config
+from videotransformer_tpu.ops import initializers as init
+
+Dtype = Any
+
+
+def get_sine_cosine_pos_emb(n_position: int, d_hid: int) -> jnp.ndarray:
+    """Sinusoid position encoding table, (1, n_position, d_hid).
+
+    Matches reference transformer.py:12-22 (numpy double precision, then cast).
+    """
+    position = np.arange(n_position)[:, None]
+    hid = np.arange(d_hid)[None, :]
+    angle = position / np.power(10000, 2 * (hid // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return jnp.asarray(table[None], dtype=jnp.float32)
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> jnp.ndarray:
+    """Stochastic depth per leading-batch row (reference transformer.py:34-42)."""
+    if rate == 0.0 or deterministic:
+        return x
+    keep_prob = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=x.dtype))
+    return x / keep_prob * mask
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        return drop_path(x, self.rate, deterministic, self.make_rng("dropout"))
+
+
+def _sdpa(q, k, v, scale, dtype):
+    """Scaled dot-product attention core; q,k,v: (B, H, N, hd).
+
+    fp32 softmax accumulation regardless of compute dtype (bf16-safe on MXU).
+    """
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    attn = attn * scale
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "bhnm,bhmd->bhnd", attn.astype(dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype), attn
+
+
+def _sdpa_fused(q, k, v, scale, dtype):
+    """Fused attention without materialized weights (Pallas flash on TPU)."""
+    if vt_config.use_pallas_attention():
+        from videotransformer_tpu.kernels import flash_attention
+
+        return flash_attention.flash_attention(q, k, v, scale=scale)
+    out, _ = _sdpa(q, k, v, scale, dtype)
+    return out
+
+
+class Attention(nn.Module):
+    """Fused-QKV MHSA, parity with reference transformer.py:153-177."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, need_weights: bool = False):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        qkv = nn.Dense(
+            self.dim * 3,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=init.torch_linear_kernel_init(),
+            bias_init=init.torch_linear_bias_init(self.dim),
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if need_weights or self.attn_drop > 0.0:
+            out, attn = _sdpa(q, k, v, scale, self.dtype)
+            attn_d = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            if self.attn_drop > 0.0:
+                out = jnp.einsum(
+                    "bhnm,bhmd->bhnd",
+                    attn_d.astype(self.dtype),
+                    v,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+        else:
+            out = _sdpa_fused(q, k, v, scale, self.dtype)
+            attn = None
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=init.torch_linear_kernel_init(),
+            bias_init=init.torch_linear_bias_init(self.dim),
+            name="proj",
+        )(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out, attn
+
+
+class DividedTemporalAttention(nn.Module):
+    """Temporal half of divided space-time attention.
+
+    Parity with reference transformer.py:179-282: strip the cls token, fold
+    patches into batch (``b (p t) d -> (b p) t d`` — a pure reshape under the
+    patch-major layout), prenorm + MHSA over the t axis, optional zero-init
+    ``temporal_fc``, residual, then re-attach the cls token.
+    """
+
+    embed_dims: int
+    num_heads: int
+    num_frames: int
+    use_cls_token: bool
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+        cls_token = query[:, :1, :]  # (b, 1, d)
+        query = query[:, 1:, :]
+        residual = query if not self.use_cls_token else None
+        full_residual = jnp.concatenate([cls_token, query], axis=1)
+
+        b, n, d = query.shape
+        t = self.num_frames
+        p = n // t
+
+        # b (p t) d -> (b p) t d : pure reshape (patch-major token layout)
+        x = query.reshape(b * p, t, d)
+        if self.use_cls_token:
+            cls_rep = jnp.broadcast_to(cls_token[:, None, :, :], (b, p, 1, d))
+            cls_rep = cls_rep.reshape(b * p, 1, d)
+            x = jnp.concatenate([cls_rep, x], axis=1)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        attn_out, attn_w = Attention(
+            self.embed_dims,
+            self.num_heads,
+            qkv_bias=True,
+            attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(x, deterministic=deterministic, need_weights=return_attention)
+        if return_attention:
+            return attn_w
+
+        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
+        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
+            attn_out, deterministic=deterministic
+        )
+        if not self.use_cls_token:
+            attn_out = nn.Dense(
+                self.embed_dims,
+                dtype=self.dtype,
+                kernel_init=init.zeros_init,
+                bias_init=init.zeros_init,
+                name="temporal_fc",
+            )(attn_out)
+
+        if self.use_cls_token:
+            new_cls = attn_out[:, 0, :].reshape(b, p, d).mean(axis=1, keepdims=True)
+            patches = attn_out[:, 1:, :].reshape(b, p * t, d)
+            out = jnp.concatenate([new_cls, patches], axis=1)
+            return full_residual + out
+        else:
+            patches = attn_out.reshape(b, p * t, d)
+            new_query = residual + patches
+            return jnp.concatenate([cls_token, new_query], axis=1)
+
+
+class DividedSpatialAttention(nn.Module):
+    """Spatial half of divided space-time attention (transformer.py:285-382).
+
+    Same as the temporal half but folding frames into batch:
+    ``b (p t) d -> (b t) p d`` (reshape + transpose), no temporal_fc, and the
+    cls token — when present — is averaged over frames on the way back.
+    """
+
+    embed_dims: int
+    num_heads: int
+    num_frames: int
+    use_cls_token: bool
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+        cls_token = query[:, :1, :]
+        query = query[:, 1:, :]
+        residual = query if not self.use_cls_token else None
+        full_residual = jnp.concatenate([cls_token, query], axis=1)
+
+        b, n, d = query.shape
+        t = self.num_frames
+        p = n // t
+
+        # b (p t) d -> (b t) p d
+        x = query.reshape(b, p, t, d).transpose(0, 2, 1, 3).reshape(b * t, p, d)
+        if self.use_cls_token:
+            cls_rep = jnp.broadcast_to(cls_token[:, None, :, :], (b, t, 1, d))
+            cls_rep = cls_rep.reshape(b * t, 1, d)
+            x = jnp.concatenate([cls_rep, x], axis=1)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        attn_out, attn_w = Attention(
+            self.embed_dims,
+            self.num_heads,
+            qkv_bias=True,
+            attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(x, deterministic=deterministic, need_weights=return_attention)
+        if return_attention:
+            return attn_w
+
+        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
+        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
+            attn_out, deterministic=deterministic
+        )
+
+        if self.use_cls_token:
+            new_cls = attn_out[:, 0, :].reshape(b, t, d).mean(axis=1, keepdims=True)
+            patches = attn_out[:, 1:, :]
+            # (b t) p d -> b (p t) d
+            patches = (
+                patches.reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b, p * t, d)
+            )
+            out = jnp.concatenate([new_cls, patches], axis=1)
+            return full_residual + out
+        else:
+            patches = (
+                attn_out.reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b, p * t, d)
+            )
+            new_query = residual + patches
+            return jnp.concatenate([cls_token, new_query], axis=1)
+
+
+class JointAttention(nn.Module):
+    """Prenorm joint MHSA with residual (reference MultiheadAttentionWithPreNorm,
+    transformer.py:385-456)."""
+
+    embed_dims: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+        residual = query
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(query)
+        attn_out, attn_w = Attention(
+            self.embed_dims,
+            self.num_heads,
+            qkv_bias=True,
+            attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(x, deterministic=deterministic, need_weights=return_attention)
+        if return_attention:
+            return attn_w
+        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
+        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
+            attn_out, deterministic=deterministic
+        )
+        return residual + attn_out
+
+
+class FFN(nn.Module):
+    """Prenorm MLP with residual (reference FFNWithPreNorm, transformer.py:459-523)."""
+
+    embed_dims: int
+    hidden_channels: int
+    num_layers: int = 2
+    dropout_p: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        in_ch = self.embed_dims
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(
+                self.hidden_channels,
+                dtype=self.dtype,
+                kernel_init=init.torch_linear_kernel_init(),
+                bias_init=init.torch_linear_bias_init(in_ch),
+                name=f"layers_{i}",
+            )(x)
+            # torch nn.GELU default = exact erf gelu
+            x = nn.gelu(x, approximate=False)
+            x = nn.Dropout(self.dropout_p)(x, deterministic=deterministic)
+            in_ch = self.hidden_channels
+        x = nn.Dense(
+            self.embed_dims,
+            dtype=self.dtype,
+            kernel_init=init.torch_linear_kernel_init(),
+            bias_init=init.torch_linear_bias_init(self.hidden_channels),
+            name=f"layers_{self.num_layers - 1}",
+        )(x)
+        x = nn.Dropout(self.dropout_p)(x, deterministic=deterministic)
+        x = DropPath(self.drop_path_rate, name="layer_drop")(
+            x, deterministic=deterministic
+        )
+        return residual + x
+
+
+class BasicTransformerBlock(nn.Module):
+    """One block assembled from ``operator_order`` (transformer.py:568-636).
+
+    ``use_cls_token = (i == len(operator_order) - 2)``: only the attention just
+    before the FFN touches the cls token (transformer.py:602-612).
+    """
+
+    embed_dims: int
+    num_heads: int
+    num_frames: int
+    hidden_channels: int
+    operator_order: Sequence[str]
+    dpr: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+        attentions = []
+        ffns = []
+        order = tuple(self.operator_order)
+        attn_idx = 0
+        ffn_idx = 0
+        for i, operator in enumerate(order):
+            if operator == "self_attn":
+                attentions.append(
+                    JointAttention(
+                        self.embed_dims,
+                        self.num_heads,
+                        drop_path_rate=self.dpr,
+                        dtype=self.dtype,
+                        name=f"attentions_{attn_idx}",
+                    )
+                )
+                attn_idx += 1
+            elif operator == "time_attn":
+                attentions.append(
+                    DividedTemporalAttention(
+                        self.embed_dims,
+                        self.num_heads,
+                        self.num_frames,
+                        use_cls_token=(i == len(order) - 2),
+                        drop_path_rate=self.dpr,
+                        dtype=self.dtype,
+                        name=f"attentions_{attn_idx}",
+                    )
+                )
+                attn_idx += 1
+            elif operator == "space_attn":
+                attentions.append(
+                    DividedSpatialAttention(
+                        self.embed_dims,
+                        self.num_heads,
+                        self.num_frames,
+                        use_cls_token=(i == len(order) - 2),
+                        drop_path_rate=self.dpr,
+                        dtype=self.dtype,
+                        name=f"attentions_{attn_idx}",
+                    )
+                )
+                attn_idx += 1
+            elif operator == "ffn":
+                ffns.append(
+                    FFN(
+                        self.embed_dims,
+                        self.hidden_channels,
+                        drop_path_rate=self.dpr,
+                        dtype=self.dtype,
+                        name=f"ffns_{ffn_idx}",
+                    )
+                )
+                ffn_idx += 1
+            else:
+                raise TypeError(f"Unsupported operator type {operator}")
+
+        for i, layer in enumerate(attentions):
+            if i >= len(attentions) - 1 and return_attention:
+                return layer(x, deterministic=deterministic, return_attention=True)
+            x = layer(x, deterministic=deterministic)
+        for layer in ffns:
+            x = layer(x, deterministic=deterministic)
+        return x
+
+
+class TransformerContainer(nn.Module):
+    """Stack of BasicTransformerBlocks with DropPath linspace 0 -> drop_path_rate
+    (transformer.py:526-565)."""
+
+    num_transformer_layers: int
+    embed_dims: int
+    num_heads: int
+    num_frames: int
+    hidden_channels: int
+    operator_order: Sequence[str]
+    drop_path_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+        dpr = np.linspace(0, self.drop_path_rate, self.num_transformer_layers)
+        for i in range(self.num_transformer_layers):
+            last = i == self.num_transformer_layers - 1
+            block = BasicTransformerBlock(
+                embed_dims=self.embed_dims,
+                num_heads=self.num_heads,
+                num_frames=self.num_frames,
+                hidden_channels=self.hidden_channels,
+                operator_order=self.operator_order,
+                dpr=float(dpr[i]),
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )
+            if last and return_attention:
+                return block(x, deterministic=deterministic, return_attention=True)
+            x = block(x, deterministic=deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Image/tubelet to patch embedding (transformer.py:83-151).
+
+    Input: (b, t, c, h, w) — the reference's public layout. Internally runs the
+    conv in channels-last so XLA lowers it onto the MXU as one big matmul
+    (kernel == stride means the conv is exactly a reshaped matmul).
+
+    Conv2d: per-frame 16x16 patches -> (b*t, h'*w', embed_dims)
+    Conv3d: tubelet (tube, 16, 16)  -> (b*t', h'*w', embed_dims)
+    """
+
+    img_size: int
+    patch_size: int
+    tube_size: int = 2
+    in_channels: int = 3
+    embed_dims: int = 768
+    conv_type: str = "Conv2d"
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c, h, w = x.shape
+        if self.conv_type == "Conv2d":
+            x = x.reshape(b * t, c, h, w).transpose(0, 2, 3, 1)  # NHWC
+            x = nn.Conv(
+                self.embed_dims,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=init.kaiming_normal_fan_in_relu(),
+                bias_init=init.zeros_init,
+                name="projection",
+            )(x)
+            bt, hh, ww, d = x.shape
+            return x.reshape(bt, hh * ww, d)
+        elif self.conv_type == "Conv3d":
+            x = x.transpose(0, 1, 3, 4, 2)  # (b, t, h, w, c) = NDHWC
+            x = nn.Conv(
+                self.embed_dims,
+                kernel_size=(self.tube_size, self.patch_size, self.patch_size),
+                strides=(self.tube_size, self.patch_size, self.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=init.kaiming_normal_fan_in_relu(),
+                bias_init=init.zeros_init,
+                name="projection",
+            )(x)
+            bb, tt, hh, ww, d = x.shape
+            # reference: 'b c t h w -> (b t) (h w) c'
+            return x.reshape(bb * tt, hh * ww, d)
+        else:
+            raise TypeError(f"Unsupported conv layer type {self.conv_type}")
+
+
+class ClassificationHead(nn.Module):
+    """Linear classifier head (transformer.py:45-80)."""
+
+    num_classes: int
+    in_channels: int
+    init_std: float = 0.02
+    eval_metrics: str = "finetune"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.eval_metrics == "finetune":
+            kernel_init = init.trunc_normal_init(std=self.init_std)
+        else:  # linear_prob: N(0, 0.01)
+            kernel_init = init.normal_init(std=0.01)
+
+        # torch Linear weight is (out, in); trunc_normal on it is equivalent to
+        # trunc_normal on the flax (in, out) kernel (elementwise iid).
+        return nn.Dense(
+            self.num_classes,
+            dtype=self.dtype,
+            kernel_init=kernel_init,
+            bias_init=init.zeros_init,
+            name="cls_head",
+        )(x)
