@@ -72,7 +72,33 @@ def install_reference_stubs():
         "pytorchvideo.models.vision_transformers"
     ]
 
-    _module("torchvision")
+    # torchvision stub: enough surface for `import data_transform` (the
+    # reference's crop/ThreeCrop classes are pure torch at call time).
+    class _InterpolationMode:
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+        BICUBIC = "bicubic"
+        BOX = "box"
+        HAMMING = "hamming"
+        LANCZOS = "lanczos"
+
+    tv = _module("torchvision")
+    tv_transforms = _module(
+        "torchvision.transforms",
+        **{n: _missing for n in (
+            "Resize", "CenterCrop", "Normalize", "ColorJitter",
+            "RandomHorizontalFlip", "RandomGrayscale", "RandomApply",
+            "RandomResizedCrop", "RandomCrop",
+        )},
+    )
+    tv_transforms.InterpolationMode = _InterpolationMode
+    _module("torchvision.transforms.functional",
+            InterpolationMode=_InterpolationMode, resized_crop=_missing)
+    _module("torchvision.transforms.autoaugment", RandAugment=_missing)
+    tv.transforms = tv_transforms
+    tv_transforms.functional = sys.modules["torchvision.transforms.functional"]
+    tv_transforms.autoaugment = sys.modules["torchvision.transforms.autoaugment"]
+
     _module("torchmetrics", Accuracy=object)
     _module("timm")
     _module("timm.loss", SoftTargetCrossEntropy=object)

@@ -1,0 +1,174 @@
+"""Data-layer tests: resize parity vs torch, crops vs reference, HOG, mixup,
+cube masks, video reader, dataset end-to-end on the bundled demo clips."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from videotransformer_tpu.data import transforms as T
+from videotransformer_tpu.data.interpolation import resize_hw
+from videotransformer_tpu.data.mask_generator import CubeMaskGenerator, pad_cube_marker
+from videotransformer_tpu.data.video_reader import VideoReader
+
+DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
+
+
+@pytest.mark.parametrize("mode", ["bicubic", "bilinear"])
+@pytest.mark.parametrize("shape", [(256, 454, 224, 224), (120, 90, 224, 300), (64, 64, 256, 256)])
+def test_resize_matches_torch(mode, shape):
+    ih, iw, oh, ow = shape
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 3, ih, iw).astype(np.float32) * 255
+    ours = resize_hw(img, oh, ow, mode)
+    theirs = F.interpolate(torch.from_numpy(img), size=(oh, ow), mode=mode,
+                           align_corners=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=0.05)
+
+
+def test_three_crop_matches_reference():
+    import data_transform as ref_T
+
+    rng = np.random.RandomState(1)
+    clip = rng.rand(8, 3, 256, 454).astype(np.float32)
+    ours = T.ThreeCrop(224)(clip)
+    theirs = ref_T.ThreeCrop(224)(torch.from_numpy(clip)).numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_center_and_random_crop_match_reference():
+    import data_transform as ref_T
+
+    rng = np.random.RandomState(2)
+    clip = rng.rand(4, 3, 256, 300).astype(np.float32)
+    np.testing.assert_array_equal(
+        T.CenterCrop(224)(clip),
+        # reference CenterCrop wraps torchvision; replicate its center math
+        clip[..., 16:240, 38:262],
+    )
+    ref_rc = ref_T.RandomCrop(224)
+    ours_rc = T.RandomCrop(224)
+    ref_rc.x_jitter, ref_rc.y_jitter = 0.3, 0.7
+    ours_rc.x_jitter, ours_rc.y_jitter = 0.3, 0.7
+    np.testing.assert_array_equal(ours_rc(clip), ref_rc(torch.from_numpy(clip)).numpy())
+
+
+def test_hog_jnp_matches_np():
+    from videotransformer_tpu.data.hog import extract_hog_features, extract_hog_features_np
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(224, 224, 3) * 255).astype(np.float32)
+    ours = np.asarray(extract_hog_features(img))
+    host = extract_hog_features_np(img)
+    assert ours.shape == (14, 14, 108)
+    np.testing.assert_allclose(ours, host, atol=2e-3)
+    # HOG of a constant image is zero
+    flat = np.full((224, 224, 3), 128.0, np.float32)
+    assert np.abs(np.asarray(extract_hog_features(flat))).max() == 0.0
+
+
+def test_mixup_device():
+    import jax
+
+    from videotransformer_tpu.data.mixup import Mixup
+
+    mixup = Mixup(num_classes=10)
+    x = np.random.RandomState(4).rand(4, 2, 3, 16, 16).astype(np.float32)
+    y = np.array([1, 2, 3, 4])
+    key = jax.random.PRNGKey(0)
+    xm, ym = mixup(key, x, y)
+    assert xm.shape == x.shape and ym.shape == (4, 10)
+    np.testing.assert_allclose(np.asarray(ym).sum(-1), 1.0, atol=1e-5)
+    # deterministic under the same key
+    xm2, ym2 = mixup(key, x, y)
+    np.testing.assert_array_equal(np.asarray(xm), np.asarray(xm2))
+    # smoothing floor present
+    assert np.asarray(ym).min() > 0
+
+
+def test_cube_mask_generator():
+    gen = CubeMaskGenerator(input_size=(8, 14, 14), min_num_patches=16,
+                            rng=np.random.default_rng(0))
+    for _ in range(10):
+        mask, marker = gen()
+        assert mask.shape == (8, 14, 14)
+        masked_frames = (mask.sum(axis=(1, 2)) > 0).sum()
+        total_span = sum(n for _, n in marker)
+        assert total_span >= gen.num_masking_frames
+        assert masked_frames == total_span
+        # markers don't overlap: each marked frame belongs to exactly one span
+        seen = set()
+        for s, n in marker:
+            for f in range(s, s + n):
+                assert f not in seen
+                seen.add(f)
+    padded, count = pad_cube_marker([marker, marker[:1]])
+    assert padded.shape[0] == 2 and padded.shape[2] == 2
+    assert count[0] == len(marker) and count[1] == 1
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_video_reader_demo_clip():
+    vr = VideoReader(DEMO_MP4)
+    assert len(vr) == 302
+    idx = np.linspace(0, len(vr) - 1, 8, dtype=int)
+    batch = vr.get_batch(idx)
+    assert batch.shape == (8, 256, 454, 3) and batch.dtype == np.uint8
+    # deterministic: re-read same indices
+    vr2 = VideoReader(DEMO_MP4)
+    batch2 = vr2.get_batch(idx)
+    np.testing.assert_array_equal(batch, batch2)
+    # unsorted indices return frames in request order
+    shuffled = vr2.get_batch(idx[::-1].copy())
+    np.testing.assert_array_equal(shuffled, batch[::-1])
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_kinetics_dataset_supervised(tmp_path):
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.data.dataset import Kinetics
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text(f"{DEMO_MP4}\tabseiling\n")
+    configs = SimpleNamespace(num_class=400, num_samples_per_cls=10,
+                              num_frames=8, objective="supervised")
+    transform = T.create_video_transform(input_size=224, is_training=False,
+                                         interpolation="bicubic",
+                                         mean=(0.45,) * 3, std=(0.225,) * 3)
+    ds = Kinetics(configs, str(ann), transform=transform,
+                  temporal_sample=T.TemporalRandomCrop(8 * 32))
+    assert len(ds) == 1
+    video, label = ds[0]
+    assert video.shape == (8, 3, 224, 224)
+    assert label == 0  # abseiling is class 0 in k400
+    assert abs(float(video.mean())) < 3.0  # normalized scale
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_kinetics_dataset_mim(tmp_path):
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.data.dataset import Kinetics
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text(f"{DEMO_MP4}\tabseiling\n")
+    configs = SimpleNamespace(num_class=400, num_samples_per_cls=10,
+                              num_frames=16, objective="mim")
+    transform = T.create_video_transform(
+        input_size=224, is_training=True, scale=(0.5, 1.0), color_jitter=None,
+        objective="mim", interpolation="bicubic",
+        mean=(0.45,) * 3, std=(0.225,) * 3)
+    ds = Kinetics(configs, str(ann), transform=transform,
+                  temporal_sample=T.TemporalRandomCrop(16 * 4),
+                  host_hog_targets=True)
+    video, label, mask, marker = ds[0]
+    assert video.shape == (16, 3, 224, 224)
+    assert label.shape == (16, 14, 14, 108)
+    assert mask.shape == (8, 14, 14)
+    # HOG targets nonzero exactly at cube-center frames
+    nonzero_frames = {i for i in range(16) if np.abs(label[i]).sum() > 0}
+    centers = {s * 2 + n * 2 // 2 for s, n in marker}
+    assert nonzero_frames <= centers

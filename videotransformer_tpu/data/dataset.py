@@ -1,0 +1,168 @@
+"""Kinetics dataset: annotation parsing, temporal sampling, clip loading.
+
+Parity with reference dataset.py:
+- tab-separated ``path\tclass_name`` annotation rows, classmap json lookup,
+  per-class sample cap (dataset.py:48-93).
+- ``__getitem__``: infinite retry-with-random-resample on decode error
+  (dataset.py:152-168 — behavior to preserve per SURVEY §5), temporal window
+  from ``TemporalRandomCrop``, then ``np.linspace(start, end-1, num_frames)``
+  index sampling and a single ``get_batch`` (the "sample indices first"
+  optimization, README.md:148-160).
+- mim path: CubeMaskGenerator draw + HOG targets computed only at cube-center
+  frames (dataset.py:181-196). In the TPU-native pipeline the HOG computation
+  moves on-device (see hog.py); this host dataset returns the un-normalized
+  pre-transform video plus (mask, cube_marker) and lets the training step
+  compute HOG targets inside the XLA input fusion. A host fallback
+  (``host_hog_targets=True``) reproduces the reference behavior exactly.
+
+No torch dependency: this is a plain Python indexable, consumed by the
+prefetching loader (``pipeline.py``).
+"""
+
+import json
+import os
+import random
+
+import numpy as np
+
+from videotransformer_tpu.data.mask_generator import CubeMaskGenerator
+from videotransformer_tpu.data.video_reader import DecordInit
+
+ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def temporal_sampling(frames, start_idx, end_idx, num_samples):
+    """Equal-interval index sampling (reference dataset.py:15-32)."""
+    index = np.linspace(start_idx, end_idx, num_samples)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index]
+
+
+def load_annotation_data(data_file_path):
+    with open(data_file_path, "r") as data_file:
+        return json.load(data_file)
+
+
+def get_class_labels(num_class, anno_pth=None):
+    """Classmap load (reference dataset.py:53-63, without the global cache)."""
+    if anno_pth is None:
+        anno_pth = os.path.join(
+            ASSETS_DIR, "k600_classmap.json" if num_class > 400 else "k400_classmap.json"
+        )
+    class_labels_map = load_annotation_data(anno_pth)
+    cls_sample_cnt = {cls: 0 for cls in class_labels_map}
+    return class_labels_map, cls_sample_cnt
+
+
+def load_annotations(ann_file, num_class, num_samples_per_cls, anno_pth=None):
+    """reference dataset.py:66-93."""
+    dataset = []
+    class_to_idx, cls_sample_cnt = get_class_labels(num_class, anno_pth)
+    with open(ann_file, "r") as fin:
+        for line in fin:
+            line_split = line.strip().split("\t")
+            sample = {}
+            frame_dir = line_split[0]
+            sample["video"] = frame_dir
+            label = [x for x in line_split[1:]]
+            assert label, f"missing label in line: {line}"
+            assert len(label) == 1
+            class_name = label[0]
+            class_index = int(class_to_idx[class_name])
+            if class_index < num_class:
+                sample["label"] = class_index
+                if cls_sample_cnt[class_name] < num_samples_per_cls:
+                    dataset.append(sample)
+                    cls_sample_cnt[class_name] += 1
+    return dataset
+
+
+class Kinetics:
+    """Kinetics video dataset (reference dataset.py:122-208).
+
+    Args:
+        configs: namespace with num_class, num_samples_per_cls, num_frames,
+            objective (and optionally classmap_path, video_root).
+        annotation_path: tab-separated annotation file.
+        transform: clip transform (or [pre, post] pair for mim).
+        temporal_sample: TemporalRandomCrop instance.
+        host_hog_targets: compute HOG targets on host exactly like the
+            reference (slower); default False defers HOG to the device step.
+    """
+
+    def __init__(self, configs, annotation_path, transform=None,
+                 temporal_sample=None, host_hog_targets=False):
+        self.configs = configs
+        self.data = load_annotations(
+            annotation_path, configs.num_class, configs.num_samples_per_cls,
+            getattr(configs, "classmap_path", None))
+        self.video_root = getattr(configs, "video_root", "")
+        self.transform = transform
+        self.temporal_sample = temporal_sample
+        self.target_video_len = configs.num_frames
+        self.objective = configs.objective
+        self.v_decoder = DecordInit()
+        self.host_hog_targets = host_hog_targets
+
+        if self.objective == "mim":
+            self.mask_generator = CubeMaskGenerator(
+                input_size=(self.target_video_len // 2, 14, 14), min_num_patches=16)
+
+    def __getitem__(self, index):
+        while True:
+            try:
+                path = os.path.join(self.video_root, self.data[index]["video"])
+                v_reader = self.v_decoder(path)
+                total_frames = len(v_reader)
+                start_frame_ind, end_frame_ind = self.temporal_sample(total_frames)
+                assert end_frame_ind - start_frame_ind >= self.target_video_len
+                frame_indice = np.linspace(
+                    start_frame_ind, end_frame_ind - 1, self.target_video_len, dtype=int)
+                video = v_reader.get_batch(frame_indice)  # (T, H, W, C) uint8
+                del v_reader
+                break
+            except Exception as e:
+                print(e)
+                index = random.randint(0, len(self.data) - 1)
+
+        # (T, H, W, C) -> (T, C, H, W), matching the reference layout
+        video = np.ascontiguousarray(video.transpose(0, 3, 1, 2)).astype(np.float32)
+        if self.transform is not None:
+            if self.objective == "mim":
+                pre_transform, post_transform = self.transform
+                pre_transform.randomize_parameters()
+                video = pre_transform(video)
+            else:
+                self.transform.randomize_parameters()
+                video = self.transform(video)
+
+        if self.objective == "mim":
+            mask, cube_marker = self.mask_generator()
+            if self.host_hog_targets:
+                from videotransformer_tpu.data.hog import extract_hog_features_np
+
+                hog_inputs = video.transpose(0, 2, 3, 1)
+                hog_features = np.zeros(
+                    (self.target_video_len, 14, 14, 2 * 2 * 3 * 9), dtype=np.float32)
+                for start_frame, span_frame in cube_marker:
+                    center_index = start_frame * 2 + span_frame * 2 // 2
+                    hog_features[center_index] = extract_hog_features_np(
+                        hog_inputs[center_index])
+                label = hog_features
+            else:
+                # device-side HOG: ship the raw (pre-normalization) clip; the
+                # training step computes targets inside the input fusion
+                label = None
+            if self.transform is not None:
+                post_video = post_transform(video)
+            else:
+                post_video = video
+            if label is None:
+                return post_video, video, mask, cube_marker
+            return post_video, label, mask, cube_marker
+        else:
+            label = self.data[index]["label"]
+            return video, label
+
+    def __len__(self):
+        return len(self.data)
