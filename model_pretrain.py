@@ -1,0 +1,155 @@
+"""CLI entry point — flag-compatible with the reference's model_pretrain.py.
+
+All reference flags are kept (model_pretrain.py:21-152); TPU-native additions
+are limited to device-mesh controls. Behavior parity (model_pretrain.py:154-230):
+- linear LR scaling: lr *= batch_size * num_devices / 256 (:158-164), counting
+  jax.device_count() instead of CUDA GPUs.
+- exp-tag results/{tag}/{ckpt,log} directory scheme (:167-179).
+- resume resolution to last_checkpoint (:190-192).
+- seeding (:215-219) covers numpy, python random, and the JAX base key.
+
+Mixed precision: '-use_fp16 True' maps to bf16 compute with fp32 params on TPU
+(SURVEY §2.2: "TPU equivalent: bf16 compute / fp32 params+accumulators").
+"""
+
+import argparse
+import os
+import random
+import time
+import warnings
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="lr receiver")
+    # Common
+    parser.add_argument("-epoch", type=int, required=True,
+                        help="the max epochs of training")
+    parser.add_argument("-batch_size", type=int, required=True,
+                        help="the batch size of data inputs")
+    parser.add_argument("-num_workers", type=int, default=4,
+                        help="the num workers of loading data")
+    parser.add_argument("-resume", default=False, action="store_true")
+    parser.add_argument("-resume_from_checkpoint", type=str, default=None,
+                        help="the pretrain params from specific path")
+    parser.add_argument("-log_interval", type=int, default=30,
+                        help="the intervals of logging")
+    parser.add_argument("-save_ckpt_freq", type=int, default=20,
+                        help="the intervals of saving model")
+    parser.add_argument("-objective", type=str, default="mim",
+                        help="the learning objective from [mim, supervised]")
+    parser.add_argument("-eval_metrics", type=str, default="finetune",
+                        help="the eval metrics choosen from [linear_prob, finetune]")
+
+    # Environment (gpus kept for CLI compatibility; device count comes from JAX)
+    parser.add_argument("-gpus", nargs="+", type=int, default=-1,
+                        help="kept for compatibility; devices come from jax.devices()")
+    parser.add_argument("-root_dir", type=str, required=True,
+                        help="the path to root dir for work space")
+
+    # Data
+    parser.add_argument("-num_class", type=int, required=True)
+    parser.add_argument("-num_samples_per_cls", type=int, default=10000)
+    parser.add_argument("-img_size", type=int, default=224)
+    parser.add_argument("-num_frames", type=int, required=True)
+    parser.add_argument("-frame_interval", type=int, required=True)
+    parser.add_argument("-data_statics", type=str, default="kinetics",
+                        help="choose data statics from [imagenet, kinetics]")
+    parser.add_argument("-train_data_path", type=str, required=True)
+    parser.add_argument("-val_data_path", type=str, default=None)
+    parser.add_argument("-test_data_path", type=str, default=None)
+    parser.add_argument("-multi_crop", type=bool, default=False)
+    parser.add_argument("-mixup", type=bool, default=False)
+    parser.add_argument("-auto_augment", type=str, default=None)
+
+    # Model
+    parser.add_argument("-arch", type=str, default="timesformer",
+                        help="the choosen model arch from [timesformer, vivit, mvit]")
+    parser.add_argument("-attention_type", type=str, default="divided_space_time")
+    parser.add_argument("-pretrain_pth", type=str, default=None)
+    parser.add_argument("-weights_from", type=str, default="imagenet",
+                        help="the pretrain params from [imagenet, kinetics]")
+
+    # Training/Optimization parameters
+    parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-optim_type", type=str, default="adamw")
+    parser.add_argument("-lr_schedule", type=str, default="cosine")
+    parser.add_argument("-lr", type=float, required=True)
+    parser.add_argument("-layer_decay", type=float, default=0.75)
+    parser.add_argument("--min_lr", type=float, default=1e-6)
+    parser.add_argument("-use_fp16", type=bool, default=True,
+                        help="bf16 compute / fp32 params on TPU")
+    parser.add_argument("-weight_decay", type=float, default=0.05)
+    parser.add_argument("-weight_decay_end", type=float, default=0.05)
+    parser.add_argument("-clip_grad", type=float, default=0)
+    parser.add_argument("-warmup_epochs", default=5, type=int)
+
+    return parser.parse_args(argv)
+
+
+def single_run(argv=None):
+    args = parse_args(argv)
+    warnings.filterwarnings("ignore")
+
+    import jax
+
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.training.data_module import KineticsDataModule
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    # linear learning rate scale over all chips (model_pretrain.py:158-164)
+    num_devices = jax.device_count()
+    effective_batch_size = args.batch_size * num_devices
+    args.lr = args.lr * effective_batch_size / 256
+
+    ROOT_DIR = args.root_dir
+    exp_tag = (
+        f"objective_{args.objective}_arch_{args.arch}_lr_{args.lr}_"
+        f"optim_{args.optim_type}_lr_schedule_{args.lr_schedule}_"
+        f"fp16_{args.use_fp16}_weight_decay_{args.weight_decay}_"
+        f"weight_decay_end_{args.weight_decay_end}_warmup_epochs_{args.warmup_epochs}_"
+        f"pretrain_{args.pretrain_pth}_weights_from_{args.weights_from}_seed_{args.seed}_"
+        f"img_size_{args.img_size}_num_frames_{args.num_frames}_eval_metrics_{args.eval_metrics}_"
+        f"frame_interval_{args.frame_interval}_mixup_{args.mixup}_"
+        f"multi_crop_{args.multi_crop}_auto_augment_{args.auto_augment}_"
+    )
+    ckpt_dir = os.path.join(ROOT_DIR, f"results/{exp_tag}/ckpt")
+    log_dir = os.path.join(ROOT_DIR, f"results/{exp_tag}/log")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    do_eval = args.val_data_path is not None
+    do_test = args.test_data_path is not None
+
+    # To be reproducible (model_pretrain.py:215-219)
+    np.random.seed(args.seed)
+    random.seed(args.seed)
+    T.seed_transforms(args.seed)
+
+    data_module = KineticsDataModule(
+        configs=args,
+        train_ann_path=args.train_data_path,
+        val_ann_path=args.val_data_path,
+        test_ann_path=args.test_data_path,
+    )
+
+    if args.resume and not args.resume_from_checkpoint:
+        args.resume_from_checkpoint = os.path.join(ckpt_dir, "last_checkpoint")
+
+    trainer = VideoTransformerTrainer(
+        configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test)
+
+    if args.resume_from_checkpoint and os.path.exists(args.resume_from_checkpoint):
+        trainer.load_checkpoint(args.resume_from_checkpoint)
+
+    if jax.process_index() == 0:
+        print(args, flush=True)
+        ts = time.strftime("%Y-%m-%d %H:%M:%S", time.localtime())
+        print(f"{ts} - INFO - Start running,", flush=True)
+    trainer.fit(data_module, args.epoch)
+    return trainer
+
+
+if __name__ == "__main__":
+    single_run()

@@ -1,0 +1,271 @@
+"""Training-harness tests: optimizer parity vs torch, schedule parity vs the
+reference lambda, and an end-to-end tiny training run on the 8-device CPU mesh."""
+
+import math
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from videotransformer_tpu.training import schedules
+from videotransformer_tpu.training.optimizer import (
+    RefOptimizer, build_optimizer, mvit_layer_id, no_decay_mask)
+
+
+def test_cosine_schedule_matches_reference():
+    # reference lr_lambda (model_trainer.py:20-37), stepped per epoch
+    def ref_lambda(current_step, warmup, total, base_lr, objective, min_lr):
+        current_step += 1
+        if current_step <= warmup:
+            return float(current_step) / float(max(1, warmup))
+        progress = min(float(current_step - warmup) / float(max(1, total - warmup)), 1)
+        if objective == "mim":
+            return 0.5 * (1.0 + math.cos(math.pi * progress))
+        factor = 0.5 * (1.0 + math.cos(math.pi * progress))
+        return factor * (1 - min_lr / base_lr) + min_lr / base_lr
+
+    base_lr, min_lr = 5e-3, 1e-6
+    for objective in ("mim", "supervised"):
+        for epoch in range(0, 30):
+            ours = schedules.cosine_with_warmup_epoch(
+                epoch, base_lr, 5, 30, objective, min_lr)
+            ref = base_lr * ref_lambda(epoch, 5, 30, base_lr, objective, min_lr)
+            assert abs(ours - ref) < 1e-12, (objective, epoch)
+
+
+def test_weight_decay_schedule_matches_reference():
+    for epoch in range(15):
+        ours = schedules.cosine_weight_decay(epoch, 15, 0.05, 0.2)
+        ref = 0.2 - (0.2 - 0.05) * (math.cos(math.pi * epoch / 15) + 1) / 2
+        assert abs(ours - ref) < 1e-12
+
+
+class _TinyTorch(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.fc = torch.nn.Linear(8, 8)
+        self.norm = torch.nn.LayerNorm(8)
+        self.pos_embed = torch.nn.Parameter(torch.randn(1, 4, 8))
+
+
+def _torch_params_to_tree(tmod):
+    # note the .copy(): on CPU, jnp.asarray may zero-copy the numpy view of a
+    # torch parameter, and optimizer.step() would then mutate our tree in place
+    return {
+        "fc": {"kernel": jnp.asarray(tmod.fc.weight.detach().numpy().T.copy()),
+               "bias": jnp.asarray(tmod.fc.bias.detach().numpy().copy())},
+        "norm": {"scale": jnp.asarray(tmod.norm.weight.detach().numpy().copy()),
+                 "bias": jnp.asarray(tmod.norm.bias.detach().numpy().copy())},
+        "pos_embed": jnp.asarray(tmod.pos_embed.detach().numpy().copy()),
+    }
+
+
+@pytest.mark.parametrize("optim_type", ["adamw", "sgd"])
+@pytest.mark.parametrize("clip_grad", [0.0, 0.1])
+def test_optimizer_matches_torch(optim_type, clip_grad):
+    """3 steps of our optimizer vs torch with the reference's group rules and
+    per-parameter clipping (optimizer.py:43-62, model_trainer.py:155-170)."""
+    torch.manual_seed(0)
+    tmod = _TinyTorch()
+    params = _torch_params_to_tree(tmod)
+
+    no_decay, decay = [], []
+    for name, p in tmod.named_parameters():
+        if len(p.shape) == 1 or name.endswith(".bias") or "pos_embed" in name:
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    groups = [{"params": no_decay, "weight_decay": 0.0}, {"params": decay}]
+    lr, wd = 1e-2, 0.05
+    if optim_type == "adamw":
+        topt = torch.optim.AdamW(groups, betas=(0.9, 0.999), lr=lr, weight_decay=wd)
+    else:
+        topt = torch.optim.SGD(groups, momentum=0.9, nesterov=True, lr=lr, weight_decay=wd)
+
+    opt = RefOptimizer(optim_type=optim_type, clip_grad=clip_grad,
+                       nd_mask=no_decay_mask(params))
+    state = opt.init(params)
+
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        grads_np = {
+            "fc": {"kernel": rng.randn(8, 8).astype(np.float32),
+                   "bias": rng.randn(8).astype(np.float32)},
+            "norm": {"scale": rng.randn(8).astype(np.float32),
+                     "bias": rng.randn(8).astype(np.float32)},
+            "pos_embed": rng.randn(1, 4, 8).astype(np.float32),
+        }
+        # set the same grads on torch
+        tmod.fc.weight.grad = torch.from_numpy(grads_np["fc"]["kernel"].T.copy())
+        tmod.fc.bias.grad = torch.from_numpy(grads_np["fc"]["bias"].copy())
+        tmod.norm.weight.grad = torch.from_numpy(grads_np["norm"]["scale"].copy())
+        tmod.norm.bias.grad = torch.from_numpy(grads_np["norm"]["bias"].copy())
+        tmod.pos_embed.grad = torch.from_numpy(grads_np["pos_embed"].copy())
+
+        # reference per-param clip (model_trainer.py:161-168)
+        if clip_grad:
+            for p in tmod.parameters():
+                pn = torch.norm(p.grad.detach(), 2)
+                coef = clip_grad / (pn + 1e-6)
+                if coef < 1:
+                    p.grad.data.mul_(coef)
+        topt.step()
+
+        grads = jax.tree.map(jnp.asarray, grads_np)
+        params, state, gn = opt.update(grads, state, params, lr, wd)
+
+    ref = _torch_params_to_tree(tmod)
+    for path, a in [("fc/kernel", params["fc"]["kernel"]),
+                    ("fc/bias", params["fc"]["bias"]),
+                    ("norm/scale", params["norm"]["scale"]),
+                    ("pos_embed", params["pos_embed"])]:
+        b = ref[path.split("/")[0]] if "/" not in path else None
+        keys = path.split("/")
+        b = ref[keys[0]] if len(keys) == 1 else ref[keys[0]][keys[1]]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"{optim_type} {path}")
+
+
+def test_mvit_layer_id():
+    assert mvit_layer_id("model/mask_token") == 0
+    assert mvit_layer_id("mvit/patch_embed/projection/kernel") == 0
+    assert mvit_layer_id("model/cls_positional_encoding/pos_embed_spatial") == 0
+    assert mvit_layer_id("model/blocks_0/attn/qkv/kernel") == 1
+    assert mvit_layer_id("mvit/blocks_15/mlp/fc1/kernel") == 16
+    assert mvit_layer_id("model/norm_embed/scale") == 17
+
+
+def _tiny_configs(**over):
+    cfg = dict(
+        objective="supervised", arch="timesformer", attention_type="divided_space_time",
+        num_class=10, num_frames=2, img_size=32, batch_size=8, num_workers=1,
+        optim_type="adamw", lr=1e-3, lr_schedule="cosine", warmup_epochs=1,
+        min_lr=1e-6, weight_decay=0.05, weight_decay_end=0.05, clip_grad=1.0,
+        seed=0, mixup=False, eval_metrics="finetune", layer_decay=1.0,
+    )
+    cfg.update(over)
+    return SimpleNamespace(**cfg)
+
+
+def _patch_tiny_model(monkeypatch):
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    def tiny_build(configs):
+        return TimeSformer(
+            num_frames=configs.num_frames, img_size=configs.img_size,
+            patch_size=16, embed_dims=32, num_heads=4, num_transformer_layers=2,
+            attention_type=configs.attention_type)
+
+    monkeypatch.setattr(trainer_mod, "build_model", tiny_build)
+
+
+def test_train_step_end_to_end_mesh(monkeypatch):
+    """Tiny supervised training on the 8-device CPU mesh: loss decreases,
+    params update, metrics accumulate, checkpoint roundtrips."""
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs()
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None, do_eval=True)
+    assert tr.mesh.devices.size == 8
+
+    rng = np.random.RandomState(0)
+    video = rng.rand(8, 2, 3, 32, 32).astype(np.float32)
+    labels = (np.arange(8) % 10).astype(np.int32)
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(tr.mesh, {"video": video, "label": labels})
+    losses = []
+    for step in range(8):
+        key = jax.random.fold_in(tr.base_key, step)
+        tr.params, tr.opt_state, stats = tr._train_step(
+            tr.params, tr.opt_state, batch, key,
+            jnp.float32(1e-3), jnp.float32(0.05))
+        losses.append(float(stats["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+    # eval step: 1-crop and 3-crop paths
+    stats = tr._eval_step(tr.params, batch, 1)
+    assert int(stats["bs"]) == 8
+    video3 = np.repeat(video, 3, axis=0)
+    batch3 = shard_batch(tr.mesh, {"video": video3[:24], "label": labels})
+    stats3 = tr._eval_step(tr.params, batch3, 3)
+    assert int(stats3["bs"]) == 8
+
+
+def test_train_step_mixup(monkeypatch):
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs(mixup=True)
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    rng = np.random.RandomState(0)
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(tr.mesh, {
+        "video": rng.rand(8, 2, 3, 32, 32).astype(np.float32),
+        "label": (np.arange(8) % 10).astype(np.int32)})
+    key = jax.random.fold_in(tr.base_key, 0)
+    tr.params, tr.opt_state, stats = tr._train_step(
+        tr.params, tr.opt_state, batch, key, jnp.float32(1e-3), jnp.float32(0.05))
+    assert np.isfinite(float(stats["loss"]))
+
+
+def test_linear_prob_freezes_backbone(monkeypatch):
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs(eval_metrics="linear_prob")
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    before = jax.device_get(tr.params["model"])
+    rng = np.random.RandomState(0)
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(tr.mesh, {
+        "video": rng.rand(8, 2, 3, 32, 32).astype(np.float32),
+        "label": (np.arange(8) % 10).astype(np.int32)})
+    key = jax.random.fold_in(tr.base_key, 0)
+    head_before = jax.device_get(tr.params["cls_head"])
+    tr.params, tr.opt_state, _ = tr._train_step(
+        tr.params, tr.opt_state, batch, key, jnp.float32(1e-2), jnp.float32(0.05))
+    after = jax.device_get(tr.params["model"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    head_after = jax.device_get(tr.params["cls_head"])
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(head_before), jax.tree.leaves(head_after)))
+
+
+def test_checkpoint_roundtrip(monkeypatch, tmp_path):
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs()
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=str(tmp_path))
+    rng = np.random.RandomState(0)
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    batch = shard_batch(tr.mesh, {
+        "video": rng.rand(8, 2, 3, 32, 32).astype(np.float32),
+        "label": (np.arange(8) % 10).astype(np.int32)})
+    key = jax.random.fold_in(tr.base_key, 0)
+    tr.params, tr.opt_state, _ = tr._train_step(
+        tr.params, tr.opt_state, batch, key, jnp.float32(1e-3), jnp.float32(0.05))
+    tr.epoch = 3
+    tr.global_step = 17
+    tr.save_checkpoint(str(tmp_path / "ck"))
+
+    tr2 = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    tr2.load_checkpoint(str(tmp_path / "ck"))
+    assert tr2.epoch == 4 and tr2.global_step == 17
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr.params)),
+                    jax.tree.leaves(jax.device_get(tr2.params))):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,166 @@
+"""Host data loader: threaded decode workers + async device prefetch.
+
+Replaces torch DataLoader worker processes (data_trainer.py:123-154) with a
+thread pool — the decode hot path (FFmpeg/cv2) releases the GIL, so threads
+overlap decode with TPU steps without fork overhead. Batches are assembled as
+numpy and device_put asynchronously (double-buffered) so the TPU never waits
+on H2D copies.
+
+Multi-host: each process loads its own shard of the sample index space, keyed
+by (jax.process_index(), num_processes) — the pjit data axis then sees a
+globally-consistent batch.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+from videotransformer_tpu.data.mask_generator import pad_cube_marker
+
+
+def collate_supervised(samples):
+    videos = np.stack([s[0] for s in samples]).astype(np.float32)
+    labels = np.asarray([s[1] for s in samples], dtype=np.int32)
+    return {"video": videos, "label": labels}
+
+
+def collate_mim(samples, max_cubes=8):
+    """mim batch: (video, raw_or_hog, mask, cube_marker) per sample
+    (data_trainer.py:15-36), with cube_marker padded to (B, max_cubes, 2)."""
+    videos = np.stack([s[0] for s in samples]).astype(np.float32)
+    second = np.stack([s[1] for s in samples]).astype(np.float32)
+    masks = np.stack([s[2] for s in samples]).astype(np.int32)
+    markers, counts = pad_cube_marker([s[3] for s in samples], max_cubes)
+    key = "hog" if second.ndim == 4 or second.shape[-1] == 108 else "raw"
+    if second.ndim == 5 and second.shape[2] == 3:
+        key = "raw"  # un-normalized clip (T, C, H, W); HOG computed on device
+    return {"video": videos, key: second, "mask": masks,
+            "cube_marker": markers, "cube_count": counts}
+
+
+class Loader:
+    """Iterable over collated numpy batches with background worker threads."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=2, collate_fn=collate_supervised, seed=0,
+                 process_index=0, num_processes=1, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.collate_fn = collate_fn
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.num_processes = num_processes
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host shard (contiguous stride, DistributedSampler-style)
+        idx = idx[self.process_index :: self.num_processes]
+        if self.drop_last:
+            usable = (len(idx) // self.batch_size) * self.batch_size
+            idx = idx[:usable]
+        return idx
+
+    def __len__(self):
+        idx_len = len(range(self.process_index, len(self.dataset), self.num_processes))
+        if self.drop_last:
+            return idx_len // self.batch_size
+        return (idx_len + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        if not batches:
+            return
+
+        sample_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 4)
+        out: dict = {}
+        out_lock = threading.Condition()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    item = sample_q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if item is None:
+                    return
+                bi, si, ds_index = item
+                sample = self.dataset[ds_index]
+                with out_lock:
+                    out.setdefault(bi, {})[si] = sample
+                    out_lock.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        feeder_batches = list(enumerate(batches))
+
+        def feeder():
+            for bi, batch in feeder_batches:
+                for si, ds_index in enumerate(batch):
+                    if stop.is_set():
+                        return
+                    sample_q.put((bi, si, int(ds_index)))
+            for _ in threads:
+                sample_q.put(None)
+
+        threading.Thread(target=feeder, daemon=True).start()
+
+        try:
+            for bi, batch in feeder_batches:
+                with out_lock:
+                    while bi not in out or len(out[bi]) < len(batch):
+                        out_lock.wait(timeout=60.0)
+                    samples = [out.pop(bi)[i] for i in range(len(batch))]
+                yield self.collate_fn(samples)
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, mesh=None, size=2):
+    """Wrap a host batch iterator with async device_put (double-buffering)."""
+    import jax
+
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    buf = []
+    it = iter(iterator)
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

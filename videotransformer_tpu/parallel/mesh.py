@@ -1,0 +1,54 @@
+"""Mesh construction and sharding helpers.
+
+The reference's only parallelism is NCCL DDP (SURVEY §2.2). The TPU-native
+equivalent: a ``jax.sharding.Mesh`` whose ``data`` axis spans all chips; the
+batch is sharded over ``data``, parameters are replicated, and pjit inserts the
+gradient psum over ICI automatically. The mesh also carries an optional
+``model`` axis so tensor-parallel shardings can be layered on without touching
+the train step (attention/ffn kernels already keep their contraction dims
+shardable).
+
+Multi-host: ``jax.distributed.initialize()`` must be called before mesh
+creation; per-host data loading is keyed by ``jax.process_index()``
+(pipeline.py), matching the reference's rank-keyed DistributedSampler
+semantics.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device_put a host batch pytree sharded over the data axis (dim 0)."""
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device_put a pytree fully replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())
