@@ -220,6 +220,37 @@ def surgery_from_mae_pretrain(
     return state_dict
 
 
+def surgery_maskfeat_keys(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map pytorchvideo-style MaskFeat/MViT names to our flax module names.
+
+    reference names (video_transformer.py:834-864 + pytorchvideo internals):
+    - ``patch_embed.patch_model``  -> ``patch_embed`` (we use a bare Conv)
+    - ``mlp.fc1`` / ``mlp.fc2``    -> ``mlp_fc1`` / ``mlp_fc2``
+    - ``attn.pool_{q,k,v}``        -> ``attn.pool_{q,k,v}.conv``
+    """
+    out = {}
+    for k, v in state_dict.items():
+        nk = k.replace("patch_embed.patch_model", "patch_embed")
+        nk = nk.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+        for pool in ("pool_q", "pool_k", "pool_v"):
+            nk = nk.replace(f"attn.{pool}.weight", f"attn.{pool}.conv.weight")
+        out[nk] = v
+    return out
+
+
+def init_maskfeat_from_kinetics_pretrain(params, pretrain_path, verbose=True):
+    """MaskFeat/MViT checkpoint import (reference init_from_kinetics_pretrain_
+    applied to MaskFeat, video_transformer.py:869-870)."""
+    sd = load_torch_state_dict(pretrain_path)
+    sd = replace_state_dict(sd)
+    sd = surgery_maskfeat_keys(sd)
+    imported = torch_to_flax_params(sd)
+    merged, missing, unexpected = merge_params(params, imported)
+    if verbose:
+        print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # torch key path -> flax param path
 # ---------------------------------------------------------------------------
@@ -239,7 +270,7 @@ def _map_key(key: str, fact_encoder: bool) -> Tuple[str, ...]:
                 out.append(f"layers_{parts[i + 1]}")
                 i += 2
             continue
-        if p in ("layers", "attentions", "ffns") and i + 1 < len(parts) and parts[i + 1].isdigit():
+        if p in ("layers", "attentions", "ffns", "blocks") and i + 1 < len(parts) and parts[i + 1].isdigit():
             # FFN inner Sequential: layers.0.0 -> layers_0 ; layers.1 -> layers_1
             # (the trailing ".0" is the Linear inside Sequential(Linear,GELU,Dropout);
             # it is always the final segment since the weight/bias leaf is stripped)

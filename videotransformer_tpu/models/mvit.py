@@ -1,0 +1,437 @@
+"""Multiscale Vision Transformers (MViT), TPU-native from scratch.
+
+The reference imports MViT from pytorchvideo (video_transformer.py:15-17,
+754-800); per SURVEY §2.3 we implement pooling attention natively. Semantics
+follow the pytorchvideo layers the reference pins, with citations to the
+reference's builder where it configures them:
+
+- ``MultiScaleAttention``: fused-QKV attention where Q/K/V are depthwise-conv
+  pooled per head channel (kernel 3x3x3, stride schedule), each followed by a
+  LayerNorm over head_dim. attn = softmax(q*scale @ k^T) @ v (MViT v1, no
+  residual pooling — the reference leaves ``residual_pool`` commented out,
+  video_transformer.py:781).
+- ``MultiScaleBlock``: prenorm attention with a MaxPool3d skip path when Q is
+  strided (kernel = stride+1, padding = kernel//2), MLP with dim expansion
+  (dim -> dim_out at fc2) and a Linear residual projection when dim != dim_out.
+- ``SpatioTemporalClsPositionalEncoding`` with ``sep_pos_embed=True``
+  (video_transformer.py:693-698): spatial table tiled over T + temporal table
+  repeat-interleaved over H*W + class slot.
+- ``create_multiscale_vision_transformers`` (video_transformer.py:621-800):
+  16-deep MViT-B; dim/head multipliers [[1,2],[3,2],[14,2]] via ``round_width``
+  with head-divisor rounding; Q-stride schedule with adaptive KV strides
+  ([1,8,8] divided by Q strides as depth increases, video_transformer.py:732-742).
+
+All pooling convs/maxpools run in NDHWC layout (lax conv/reduce_window) so XLA
+maps them onto TPU conv units; token <-> (T,H,W) reshapes are pure reshapes.
+LayerNorm eps=1e-6 throughout (video_transformer.py:668-671).
+"""
+
+import math
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videotransformer_tpu.ops import initializers as init
+from videotransformer_tpu.ops.blocks import DropPath
+
+Dtype = Any
+
+
+def round_width(width, multiplier, min_width=1, divisor=1, ceil=False):
+    """pytorchvideo round_width (used at video_transformer.py:755-761)."""
+    if not multiplier:
+        return width
+    width *= multiplier
+    min_width = min_width or divisor
+    if ceil:
+        width_out = max(min_width, int(math.ceil(width / divisor)) * divisor)
+    else:
+        width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+def _maxpool3d(x, kernel, stride, padding):
+    """x (B, T, H, W, C); torch MaxPool3d(ceil_mode=False) semantics."""
+    dims = (1, *kernel, 1)
+    strides = (1, *stride, 1)
+    pads = ((0, 0), *[(p, p) for p in padding], (0, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, dims, strides, pads)
+
+
+class _PoolConv(nn.Module):
+    """Depthwise Conv3d(head_dim, head_dim, k, s, p, groups=head_dim, bias=False)."""
+
+    head_dim: int
+    kernel: Tuple[int, int, int]
+    stride: Tuple[int, int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B*, T, H, W, C)
+        pad = [(k // 2, k // 2) for k in self.kernel]
+        return nn.Conv(
+            self.head_dim,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.stride),
+            padding=pad,
+            feature_group_count=self.head_dim,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=init.trunc_normal_init(std=0.02),
+            name="conv",
+        )(x)
+
+
+def _split_cls(tensor, has_cls):
+    if has_cls:
+        return tensor[..., :1, :], tensor[..., 1:, :]
+    return None, tensor
+
+
+class MultiScaleAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    kernel_q: Tuple[int, ...] = ()
+    kernel_kv: Tuple[int, ...] = ()
+    stride_q: Tuple[int, ...] = ()
+    stride_kv: Tuple[int, ...] = ()
+    has_cls_embed: bool = True
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def _pool(self, name, tensor, thw, pool_mod, norm_name):
+        """pytorchvideo _attention_pool on (B, H, L, hd)."""
+        if pool_mod is None:
+            return tensor, thw
+        B, H, L, hd = tensor.shape
+        T, Hh, Ww = thw
+        cls_tok, t = _split_cls(tensor, self.has_cls_embed)
+        t = t.reshape(B * H, T, Hh, Ww, hd)
+        t = pool_mod(t)
+        new_thw = (t.shape[1], t.shape[2], t.shape[3])
+        t = t.reshape(B, H, -1, hd)
+        if self.has_cls_embed:
+            t = jnp.concatenate([cls_tok, t], axis=2)
+        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=norm_name)(t)
+        return t, new_thw
+
+    @nn.compact
+    def __call__(self, x, thw, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=init.trunc_normal_init(std=0.02),
+            bias_init=init.zeros_init, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        has_q_pool = len(self.kernel_q) > 0 and int(np.prod(self.kernel_q)) > 0
+        has_kv_pool = len(self.kernel_kv) > 0 and int(np.prod(self.kernel_kv)) > 0
+
+        pool_q = (
+            _PoolConv(head_dim, tuple(self.kernel_q), tuple(self.stride_q),
+                      dtype=self.dtype, name="pool_q")
+            if has_q_pool else None)
+        pool_k = (
+            _PoolConv(head_dim, tuple(self.kernel_kv), tuple(self.stride_kv),
+                      dtype=self.dtype, name="pool_k")
+            if has_kv_pool else None)
+        pool_v = (
+            _PoolConv(head_dim, tuple(self.kernel_kv), tuple(self.stride_kv),
+                      dtype=self.dtype, name="pool_v")
+            if has_kv_pool else None)
+
+        q, q_thw = self._pool("q", q, thw, pool_q, "norm_q")
+        k, _ = self._pool("k", k, thw, pool_k, "norm_k")
+        v, _ = self._pool("v", v, thw, pool_v, "norm_v")
+
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+        Nq = out.shape[2]
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
+        out = nn.Dense(
+            self.dim, dtype=self.dtype,
+            kernel_init=init.trunc_normal_init(std=0.02),
+            bias_init=init.zeros_init, name="proj")(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out, q_thw
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dropout_rate: float = 0.0
+    droppath_rate: float = 0.0
+    kernel_q: Tuple[int, ...] = ()
+    kernel_kv: Tuple[int, ...] = ()
+    stride_q: Tuple[int, ...] = ()
+    stride_kv: Tuple[int, ...] = ()
+    has_cls_embed: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, thw, deterministic: bool = True):
+        x_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        attn_out, thw_new = MultiScaleAttention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            kernel_q=self.kernel_q, kernel_kv=self.kernel_kv,
+            stride_q=self.stride_q, stride_kv=self.stride_kv,
+            has_cls_embed=self.has_cls_embed, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, name="attn")(x_norm, thw, deterministic)
+
+        # skip-path pooling when Q is strided (pytorchvideo pool_skip)
+        if len(self.stride_q) > 0 and int(np.prod(self.stride_q)) > 1:
+            kernel_skip = [s + 1 if s > 1 else s for s in self.stride_q]
+            padding_skip = [int(k // 2) for k in kernel_skip]
+            cls_tok, t = _split_cls(x, self.has_cls_embed)
+            B, L, C = t.shape[0], t.shape[1], t.shape[2]
+            T, Hh, Ww = thw
+            t = t.reshape(B, T, Hh, Ww, C)
+            t = _maxpool3d(t, kernel_skip, self.stride_q, padding_skip)
+            t = t.reshape(B, -1, C)
+            if self.has_cls_embed:
+                t = jnp.concatenate([cls_tok, t], axis=1)
+            x_res = t
+        else:
+            x_res = x
+
+        x = x_res + DropPath(self.droppath_rate, name="drop_path1")(
+            attn_out, deterministic=deterministic)
+
+        x_norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype,
+                     kernel_init=init.trunc_normal_init(std=0.02),
+                     bias_init=init.zeros_init, name="mlp_fc1")(x_norm2)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.Dense(self.dim_out, dtype=self.dtype,
+                     kernel_init=init.trunc_normal_init(std=0.02),
+                     bias_init=init.zeros_init, name="mlp_fc2")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+
+        if self.dim != self.dim_out:
+            x = nn.Dense(self.dim_out, dtype=self.dtype,
+                         kernel_init=init.trunc_normal_init(std=0.02),
+                         bias_init=init.zeros_init, name="proj")(x_norm2)
+        x = x + DropPath(self.droppath_rate, name="drop_path2")(
+            h, deterministic=deterministic)
+        return x, thw_new
+
+
+class SpatioTemporalClsPositionalEncoding(nn.Module):
+    """sep_pos_embed=True variant (reference video_transformer.py:693-698)."""
+
+    embed_dim: int
+    patch_embed_shape: Tuple[int, int, int]  # (T, H, W)
+    has_cls: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        T, H, W = self.patch_embed_shape
+        pos_spatial = self.param(
+            "pos_embed_spatial", init.trunc_normal_init(std=0.02),
+            (1, H * W, self.embed_dim))
+        pos_temporal = self.param(
+            "pos_embed_temporal", init.trunc_normal_init(std=0.02),
+            (1, T, self.embed_dim))
+        if self.has_cls:
+            cls_token = self.param(
+                "cls_token", init.trunc_normal_init(std=0.02),
+                (1, 1, self.embed_dim))
+            pos_class = self.param(
+                "pos_embed_class", init.trunc_normal_init(std=0.02),
+                (1, 1, self.embed_dim))
+            cls = jnp.broadcast_to(cls_token.astype(x.dtype), (B, 1, self.embed_dim))
+            x = jnp.concatenate([cls, x], axis=1)
+        pos = jnp.tile(pos_spatial, (1, T, 1)) + jnp.repeat(
+            pos_temporal, H * W, axis=1)
+        if self.has_cls:
+            pos = jnp.concatenate([pos_class, pos], axis=1)
+        return x + pos.astype(x.dtype)
+
+
+class MultiscaleVisionTransformers(nn.Module):
+    """Block stack + positional encoding + final norm (builder below)."""
+
+    embed_dim: int
+    patch_embed_shape: Tuple[int, int, int]
+    block_configs: Tuple[dict, ...]
+    cls_embed_on: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = SpatioTemporalClsPositionalEncoding(
+            embed_dim=self.embed_dim,
+            patch_embed_shape=self.patch_embed_shape,
+            has_cls=self.cls_embed_on,
+            dtype=self.dtype,
+            name="cls_positional_encoding")(x)
+        thw = tuple(self.patch_embed_shape)
+        for i, cfg in enumerate(self.block_configs):
+            x, thw = MultiScaleBlock(
+                dtype=self.dtype, name=f"blocks_{i}", **cfg)(
+                    x, thw, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_embed")(x)
+        return x
+
+
+def build_mvit_block_configs(
+    depth=16,
+    num_heads=1,
+    patch_embed_dim=96,
+    mlp_ratio=4.0,
+    qkv_bias=True,
+    dropout_rate_block=0.0,
+    droppath_rate_block=0.0,
+    embed_dim_mul=None,
+    atten_head_mul=None,
+    pool_q_stride_size=None,
+    pool_kv_stride_size=None,
+    pool_kv_stride_adaptive=None,
+    pool_kvq_kernel=None,
+    has_cls=True,
+):
+    """Mirror of the reference's block-schedule construction
+    (video_transformer.py:700-786). Returns (block_configs, final_embed_dim)."""
+    dpr = list(np.linspace(0, droppath_rate_block, depth))
+
+    dim_mul = np.ones(depth + 1)
+    head_mul = np.ones(depth + 1)
+    if embed_dim_mul is not None:
+        for i, m in embed_dim_mul:
+            dim_mul[i] = m
+    if atten_head_mul is not None:
+        for i, m in atten_head_mul:
+            head_mul[i] = m
+
+    pool_q = [[] for _ in range(depth)]
+    pool_kv = [[] for _ in range(depth)]
+    stride_q = [[] for _ in range(depth)]
+    stride_kv = [[] for _ in range(depth)]
+
+    if pool_q_stride_size is not None:
+        for entry in pool_q_stride_size:
+            i = entry[0]
+            stride_q[i] = list(entry[1:])
+            if pool_kvq_kernel is not None:
+                pool_q[i] = list(pool_kvq_kernel)
+            else:
+                pool_q[i] = [s + 1 if s > 1 else s for s in entry[1:]]
+
+    if pool_kv_stride_adaptive is not None:
+        assert pool_kv_stride_size is None
+        _stride_kv = list(pool_kv_stride_adaptive)
+        pool_kv_stride_size = []
+        for i in range(depth):
+            if len(stride_q[i]) > 0:
+                _stride_kv = [
+                    max(_stride_kv[d] // stride_q[i][d], 1)
+                    for d in range(len(_stride_kv))
+                ]
+            pool_kv_stride_size.append([i] + _stride_kv)
+
+    if pool_kv_stride_size is not None:
+        for entry in pool_kv_stride_size:
+            i = entry[0]
+            stride_kv[i] = list(entry[1:])
+            if pool_kvq_kernel is not None:
+                pool_kv[i] = list(pool_kvq_kernel)
+            else:
+                pool_kv[i] = [s + 1 if s > 1 else s for s in entry[1:]]
+
+    configs = []
+    heads = num_heads
+    dim = patch_embed_dim
+    for i in range(depth):
+        heads = round_width(heads, head_mul[i], min_width=1, divisor=1)
+        dim = round_width(dim, dim_mul[i], divisor=heads)
+        dim_out = round_width(
+            dim, dim_mul[i + 1], divisor=round_width(heads, head_mul[i + 1]))
+        configs.append(dict(
+            dim=dim, dim_out=dim_out, num_heads=heads, mlp_ratio=mlp_ratio,
+            qkv_bias=qkv_bias, dropout_rate=dropout_rate_block,
+            droppath_rate=float(dpr[i]),
+            kernel_q=tuple(pool_q[i]), kernel_kv=tuple(pool_kv[i]),
+            stride_q=tuple(stride_q[i]), stride_kv=tuple(stride_kv[i]),
+            has_cls_embed=has_cls,
+        ))
+        # NB: the reference does NOT carry dim_out forward — the running dim is
+        # re-derived from dim_mul[i] each iteration (video_transformer.py:755-761),
+        # so dim_{i+1} = round_width(dim_i, dim_mul[i+1]) == dim_out_i.
+    return tuple(configs), configs[-1]["dim_out"]
+
+
+def create_multiscale_vision_transformers(
+    spatial_size,
+    temporal_size,
+    cls_embed_on=True,
+    depth=16,
+    input_channels=3,
+    patch_embed_dim=96,
+    conv_patch_embed_stride=(2, 4, 4),
+    num_heads=1,
+    mlp_ratio=4.0,
+    qkv_bias=True,
+    dropout_rate_block=0.0,
+    droppath_rate_block=0.0,
+    embed_dim_mul=None,
+    atten_head_mul=None,
+    pool_q_stride_size=None,
+    pool_kv_stride_size=None,
+    pool_kv_stride_adaptive=None,
+    pool_kvq_kernel=None,
+    dtype=jnp.float32,
+):
+    """Build the MViT trunk the reference assembles at video_transformer.py:621-800.
+
+    Patch embedding is applied by the caller (as in the reference MaskFeat);
+    this returns the positional-encoding + blocks + final-norm module.
+    """
+    if isinstance(spatial_size, int):
+        spatial_size = (spatial_size, spatial_size)
+    input_dims = [temporal_size, spatial_size[0], spatial_size[1]]
+    patch_embed_shape = tuple(
+        input_dims[i] // conv_patch_embed_stride[i] for i in range(3))
+
+    block_configs, embed_dim = build_mvit_block_configs(
+        depth=depth, num_heads=num_heads, patch_embed_dim=patch_embed_dim,
+        mlp_ratio=mlp_ratio, qkv_bias=qkv_bias,
+        dropout_rate_block=dropout_rate_block,
+        droppath_rate_block=droppath_rate_block,
+        embed_dim_mul=embed_dim_mul, atten_head_mul=atten_head_mul,
+        pool_q_stride_size=pool_q_stride_size,
+        pool_kv_stride_size=pool_kv_stride_size,
+        pool_kv_stride_adaptive=pool_kv_stride_adaptive,
+        pool_kvq_kernel=pool_kvq_kernel, has_cls=cls_embed_on)
+
+    return MultiscaleVisionTransformers(
+        embed_dim=patch_embed_dim,
+        patch_embed_shape=patch_embed_shape,
+        block_configs=block_configs,
+        cls_embed_on=cls_embed_on,
+        dtype=dtype,
+    ), embed_dim

@@ -113,9 +113,17 @@ class VideoTransformerTrainer:
         with self.mesh:
             if self.objective == "mim":
                 t_mask = configs.num_frames // 2
-                dummy_mask = jnp.zeros((1, t_mask, 14, 14), jnp.int32)
-                model_params = jax.jit(self.model.init)(
-                    self.base_key, dummy, dummy_mask)["params"]
+                # mask grid = patch grid / pooling downsample (14 for 224^2)
+                grid = configs.img_size // (
+                    self.model.conv_patch_embed_stride[1]
+                    * self.model.downsample_rate)
+                dummy_mask = jnp.zeros((1, t_mask, grid, grid), jnp.int32)
+                dummy_marker = jnp.zeros((1, 8, 2), jnp.int32)
+                dummy_count = jnp.zeros((1,), jnp.int32)
+                model_params = jax.jit(
+                    partial(self.model.init, target_x=None))(
+                        self.base_key, dummy, mask=dummy_mask,
+                        cube_marker=dummy_marker, cube_count=dummy_count)["params"]
             else:
                 model_params = jax.jit(self.model.init)(self.base_key, dummy)["params"]
 
@@ -225,9 +233,30 @@ class VideoTransformerTrainer:
             if self.objective == "mim":
                 def loss_fn(opt_sub):
                     full = self._merge_opt_subtree(params, opt_sub)
+                    if "hog" in batch:
+                        target = batch["hog"]
+                    else:
+                        # device-side HOG targets from the un-normalized clip,
+                        # computed only at cube-center frames and scattered
+                        # back (reference computes exactly these on host,
+                        # dataset.py:190-196)
+                        from videotransformer_tpu.data.hog import batched_hog_targets
+
+                        raw = batch["raw"]  # (B, T, C, H, W), 0..255
+                        frames = raw.transpose(0, 1, 3, 4, 2)
+                        B, T = frames.shape[0], frames.shape[1]
+                        markers = batch["cube_marker"]
+                        centers = markers[..., 0] * 2 + markers[..., 1]  # (B, M)
+                        m_idx = jnp.arange(markers.shape[1])[None, :]
+                        valid = (m_idx < batch["cube_count"][:, None]).astype(jnp.float32)
+                        gathered = jnp.take_along_axis(
+                            frames, centers[..., None, None, None], axis=1)
+                        hog_m = batched_hog_targets(gathered)  # (B, M, 14, 14, 108)
+                        onehot = jax.nn.one_hot(centers, T) * valid[..., None]
+                        target = jnp.einsum("bmt,bmhwc->bthwc", onehot, hog_m)
                     preds, loss = self.model.apply(
                         {"params": full["model"]},
-                        batch["video"], batch["hog"], batch["mask"],
+                        batch["video"], target, batch["mask"],
                         batch["cube_marker"], batch["cube_count"],
                         deterministic=False, rngs={"dropout": drop_key})
                     return loss, {}
