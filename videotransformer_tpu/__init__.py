@@ -15,3 +15,14 @@ Reference capability map: see /root/repo/SURVEY.md.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: compiles over the remote-compile tunnel
+# take 30-300s; caching them on disk makes repeated tool/bench invocations
+# start in seconds.
+try:  # pragma: no cover
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

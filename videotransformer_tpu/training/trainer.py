@@ -42,21 +42,28 @@ from videotransformer_tpu.ops.blocks import ClassificationHead
 
 
 def cross_entropy(logits, labels):
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1).mean()
 
 
 def soft_target_cross_entropy(logits, soft_targets):
     """timm SoftTargetCrossEntropy (model_trainer.py:89)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return (-soft_targets * logp).sum(axis=-1).mean()
+
+
+def model_dtype(configs):
+    """'-use_fp16 True' -> bf16 compute with fp32 params on TPU
+    (SURVEY §2.2: the TPU equivalent of the reference's AMP fp16)."""
+    return jnp.bfloat16 if getattr(configs, "use_fp16", False) else jnp.float32
 
 
 def build_model(configs):
     """model_trainer.py:52-79."""
     from videotransformer_tpu.models import TimeSformer, ViViT
 
-    if configs.objective == "mim":
+    dtype = model_dtype(configs)
+    if configs.objective == "mim" or configs.arch == "mvit":
         from videotransformer_tpu.models.maskfeat import MaskFeat
 
         return MaskFeat(
@@ -64,27 +71,21 @@ def build_model(configs):
             img_size=configs.img_size,
             pool_q_stride_size=((1, 1, 2, 2), (3, 1, 2, 2)),
             feature_dim=2 * 2 * 2 * 3 * 9,
+            dtype=dtype,
         )
     if configs.arch == "vivit":
         return ViViT(
             img_size=configs.img_size,
             num_frames=configs.num_frames,
             attention_type=configs.attention_type,
+            dtype=dtype,
         )
     if configs.arch == "timesformer":
         return TimeSformer(
             img_size=configs.img_size,
             num_frames=configs.num_frames,
             attention_type=configs.attention_type,
-        )
-    if configs.arch == "mvit":
-        from videotransformer_tpu.models.maskfeat import MaskFeat
-
-        return MaskFeat(
-            num_frames=configs.num_frames,
-            img_size=configs.img_size,
-            pool_q_stride_size=((1, 1, 2, 2), (3, 1, 2, 2)),
-            feature_dim=2 * 2 * 2 * 3 * 9,
+            dtype=dtype,
         )
     raise ValueError(configs.arch)
 
@@ -131,7 +132,8 @@ class VideoTransformerTrainer:
         if self.supervised:
             self.cls_head = ClassificationHead(
                 configs.num_class, self.model.embed_dims,
-                eval_metrics=getattr(configs, "eval_metrics", "finetune"))
+                eval_metrics=getattr(configs, "eval_metrics", "finetune"),
+                dtype=model_dtype(configs))
             head_key = jax.random.fold_in(self.base_key, 1)
             params["cls_head"] = jax.jit(self.cls_head.init)(
                 head_key, jnp.zeros((1, self.model.embed_dims)))["params"]
