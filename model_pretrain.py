@@ -114,6 +114,13 @@ def single_run(argv=None):
         f"frame_interval_{args.frame_interval}_mixup_{args.mixup}_"
         f"multi_crop_{args.multi_crop}_auto_augment_{args.auto_augment}_"
     )
+    # the full tag can exceed the 255-char filename limit; keep it readable
+    # but truncate with a stable hash suffix
+    if len(exp_tag) > 200:
+        import hashlib
+
+        digest = hashlib.sha1(exp_tag.encode()).hexdigest()[:10]
+        exp_tag = exp_tag[:188] + "_" + digest
     ckpt_dir = os.path.join(ROOT_DIR, f"results/{exp_tag}/ckpt")
     log_dir = os.path.join(ROOT_DIR, f"results/{exp_tag}/log")
     os.makedirs(ckpt_dir, exist_ok=True)

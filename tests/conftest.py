@@ -106,6 +106,13 @@ def install_reference_stubs():
 
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
+    # our repo root must shadow the reference for colliding top-level names
+    # (model_pretrain.py); reference-only modules (transformer,
+    # video_transformer, weight_init, data_transform) still resolve there
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root in sys.path:
+        sys.path.remove(repo_root)
+    sys.path.insert(0, repo_root)
 
 
 install_reference_stubs()

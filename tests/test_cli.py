@@ -1,0 +1,65 @@
+"""End-to-end CLI integration: model_pretrain.single_run trains, validates,
+tests, checkpoints, and resumes on the bundled demo clip with a tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_single_run_supervised(tmp_path, monkeypatch):
+    import jax
+
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.parallel import mesh as mesh_mod
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    # tiny model + 1-device mesh so the torch-free CPU run stays fast
+    def tiny_build(configs):
+        return TimeSformer(
+            num_frames=configs.num_frames, img_size=configs.img_size,
+            patch_size=16, embed_dims=32, num_heads=4, num_transformer_layers=2,
+            attention_type=configs.attention_type)
+
+    monkeypatch.setattr(trainer_mod, "build_model", tiny_build)
+    orig_create = mesh_mod.create_mesh
+    monkeypatch.setattr(
+        mesh_mod, "create_mesh",
+        lambda *a, **k: orig_create(devices=jax.devices()[:1]) if not a and "devices" not in k else orig_create(*a, **k))
+    # trainer imports create_mesh by name
+    monkeypatch.setattr(
+        trainer_mod, "create_mesh",
+        lambda *a, **k: orig_create(devices=jax.devices()[:1]))
+
+    ann = tmp_path / "ann.txt"
+    # four samples so train (drop_last, batch 2) gets 2 steps
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(4)))
+
+    import model_pretrain
+
+    argv = [
+        "-epoch", "1", "-batch_size", "2", "-num_workers", "1",
+        "-num_class", "400", "-num_frames", "2", "-frame_interval", "4",
+        "-img_size", "32", "-objective", "supervised", "-arch", "timesformer",
+        "-lr", "0.01", "-warmup_epochs", "1", "-root_dir", str(tmp_path),
+        "-train_data_path", str(ann), "-val_data_path", str(ann),
+        "-test_data_path", str(ann), "-log_interval", "1",
+    ]
+    trainer = model_pretrain.single_run(argv)
+    assert trainer.global_step == 2  # 4 samples / batch 2, drop_last
+    assert trainer.val_meter.total == 4
+    assert trainer.test_meter.total == 4
+
+    # last_checkpoint written; resume restores epoch counter
+    results = list((tmp_path / "results").iterdir())
+    assert len(results) == 1
+    ckpt_dir = results[0] / "ckpt"
+    assert (ckpt_dir / "last_checkpoint").exists()
+
+    trainer2 = model_pretrain.single_run(argv + ["-resume"])
+    # resumed at epoch 1 == max_epochs -> no extra training steps
+    assert trainer2.epoch == 1
+    assert trainer2.global_step == 2

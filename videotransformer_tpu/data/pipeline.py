@@ -132,7 +132,8 @@ class Loader:
                 with out_lock:
                     while bi not in out or len(out[bi]) < len(batch):
                         out_lock.wait(timeout=60.0)
-                    samples = [out.pop(bi)[i] for i in range(len(batch))]
+                    ready = out.pop(bi)
+                    samples = [ready[i] for i in range(len(batch))]
                 yield self.collate_fn(samples)
         finally:
             stop.set()

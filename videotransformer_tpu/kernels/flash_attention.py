@@ -33,7 +33,11 @@ def flash_attention(q, k, v, scale: float):
     otherwise the XLA einsum path (which XLA fuses well at small N).
     """
     B, H, N, hd = q.shape
-    if jax.default_backend() == "cpu" or N < 128:
+    # Measured on v5e (see repo log): at N<=~200 XLA's fused batched attention
+    # is at parity or faster than the Pallas kernel; the kernel wins on memory
+    # (no N x N materialization) and time once N grows past ~1k (joint
+    # space-time, MViT early blocks).
+    if jax.default_backend() == "cpu" or N < 1024:
         return _xla_attention(q, k, v, scale)
     from videotransformer_tpu.kernels import flash_attention_pallas
 

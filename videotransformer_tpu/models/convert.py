@@ -88,6 +88,13 @@ def surgery_from_vit_pretrain(
             if extend_strategy == "temporal_avg":
                 new_weight = new_weight / tube_size
             elif extend_strategy == "center_frame":
+                # Intended semantics: zero everywhere except the center frame
+                # slice. NB the reference's implementation
+                # (weight_init.py:134-136) calls .zero_() on an einops-expanded
+                # stride-0 VIEW, which also wipes the source tensor and leaves
+                # the whole kernel zero — a bug we deliberately do not
+                # reproduce (center_frame is opt-in; published results use
+                # temporal_avg).
                 new_weight = np.zeros_like(new_weight)
                 new_weight[:, :, tube_size // 2] = weight
             state_dict[old_key] = new_weight
