@@ -85,6 +85,10 @@ def parse_args(argv=None):
     parser.add_argument("-clip_grad", type=float, default=0)
     parser.add_argument("-warmup_epochs", default=5, type=int)
 
+    # TPU-native extension (not in the reference): decode fixed-size uint8
+    # clips and run all train augmentation on device inside the jitted step
+    parser.add_argument("-device_augment", type=bool, default=False)
+
     return parser.parse_args(argv)
 
 

@@ -91,7 +91,8 @@ class Kinetics:
     """
 
     def __init__(self, configs, annotation_path, transform=None,
-                 temporal_sample=None, host_hog_targets=False):
+                 temporal_sample=None, host_hog_targets=False,
+                 raw_clips=False, canonical_hw=(256, 342)):
         self.configs = configs
         self.data = load_annotations(
             annotation_path, configs.num_class, configs.num_samples_per_cls,
@@ -103,16 +104,27 @@ class Kinetics:
         self.objective = configs.objective
         self.v_decoder = DecordInit()
         self.host_hog_targets = host_hog_targets
+        # raw-clip mode (TPU hot path): decode to a fixed canonical size and
+        # return uint8 (T, H, W, C); all augmentation happens on device inside
+        # the train step (device_augment.py). The decode-time short-edge
+        # resize rides the decoder's swscale pass.
+        self.raw_clips = raw_clips
+        self.canonical_hw = canonical_hw
 
         if self.objective == "mim":
             self.mask_generator = CubeMaskGenerator(
                 input_size=(self.target_video_len // 2, 14, 14), min_num_patches=16)
 
     def __getitem__(self, index):
+        from videotransformer_tpu.data.video_reader import VideoReader
+
         while True:
             try:
                 path = os.path.join(self.video_root, self.data[index]["video"])
-                v_reader = self.v_decoder(path)
+                if self.raw_clips:
+                    v_reader = VideoReader(path, short_edge=self.canonical_hw[0])
+                else:
+                    v_reader = self.v_decoder(path)
                 total_frames = len(v_reader)
                 start_frame_ind, end_frame_ind = self.temporal_sample(total_frames)
                 assert end_frame_ind - start_frame_ind >= self.target_video_len
@@ -124,6 +136,25 @@ class Kinetics:
             except Exception as e:
                 print(e)
                 index = random.randint(0, len(self.data) - 1)
+
+        if self.raw_clips:
+            # fixed-shape uint8 clip: center-crop/pad width to canonical
+            # (lossless for the standard 256p Kinetics release)
+            ch, cw = self.canonical_hw
+            t, h, w, c = video.shape
+            if w >= cw:
+                x0 = (w - cw) // 2
+                video = video[:, :ch, x0 : x0 + cw]
+            else:
+                pad = np.zeros((t, min(h, ch), cw, c), np.uint8)
+                x0 = (cw - w) // 2
+                pad[:, :, x0 : x0 + w] = video[:, :ch]
+                video = pad
+            if video.shape[1] < ch:
+                pad = np.zeros((t, ch, cw, c), np.uint8)
+                pad[:, : video.shape[1]] = video
+                video = pad
+            return np.ascontiguousarray(video), self.data[index]["label"]
 
         # (T, H, W, C) -> (T, C, H, W), matching the reference layout
         video = np.ascontiguousarray(video.transpose(0, 3, 1, 2)).astype(np.float32)

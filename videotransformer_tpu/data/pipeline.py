@@ -19,6 +19,13 @@ import numpy as np
 from videotransformer_tpu.data.mask_generator import pad_cube_marker
 
 
+def collate_raw(samples):
+    """Raw-clip batches for device-side augmentation: uint8 (B, T, H, W, C)."""
+    videos = np.stack([s[0] for s in samples])
+    labels = np.asarray([s[1] for s in samples], dtype=np.int32)
+    return {"raw_video": videos, "label": labels}
+
+
 def collate_supervised(samples):
     videos = np.stack([s[0] for s in samples]).astype(np.float32)
     labels = np.asarray([s[1] for s in samples], dtype=np.int32)

@@ -41,7 +41,7 @@ def _load_native():
 
 
 class _CV2Backend:
-    def __init__(self, path, num_threads=1):
+    def __init__(self, path, num_threads=1, short_edge=0):
         import cv2
 
         self._cv2 = cv2
@@ -52,6 +52,7 @@ class _CV2Backend:
         self.num_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 25.0
         self._pos = 0
+        self._short_edge = int(short_edge or 0)
 
     def __len__(self):
         return self.num_frames
@@ -68,6 +69,16 @@ class _CV2Backend:
         self._pos += 1
         if not ok:
             raise IOError(f"decode failure at frame {idx} of {self.path}")
+        if self._short_edge:
+            h, w = frame.shape[:2]
+            s = self._short_edge
+            if h <= w:
+                nh, nw = s, int(s * w / h)
+            else:
+                nw, nh = s, int(s * h / w)
+            if (nh, nw) != (h, w):
+                frame = self._cv2.resize(frame, (nw, nh),
+                                         interpolation=self._cv2.INTER_AREA)
         return frame[:, :, ::-1]  # BGR -> RGB
 
     def get_batch(self, indices):
@@ -85,17 +96,19 @@ class _CV2Backend:
 class VideoReader:
     """Random-access RGB frame reader; see module docstring."""
 
-    def __init__(self, path, backend="auto", num_threads=1):
+    def __init__(self, path, backend="auto", num_threads=1, short_edge=0):
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         native = _load_native() if backend in ("auto", "native") else None
         if backend == "native" and native is None:
             raise RuntimeError("native video decoder not built")
         if native is not None:
-            self._impl = native.NativeVideoReader(path, num_threads=num_threads)
+            self._impl = native.NativeVideoReader(
+                path, num_threads=num_threads, short_edge=short_edge)
             self.backend = "native"
         else:
-            self._impl = _CV2Backend(path, num_threads=num_threads)
+            self._impl = _CV2Backend(
+                path, num_threads=num_threads, short_edge=short_edge)
             self.backend = "cv2"
 
     def __len__(self):

@@ -41,8 +41,10 @@ struct VideoDec {
   int stream_idx = -1;
   int64_t num_frames = 0;
   double fps = 0.0;
-  int width = 0;
-  int height = 0;
+  int width = 0;   // decoded width
+  int height = 0;  // decoded height
+  int out_w = 0;   // output (post-resize) width
+  int out_h = 0;   // output (post-resize) height
   // decode cursor: index of the next frame that would be produced
   int64_t next_frame = 0;
   bool at_eof = false;
@@ -128,7 +130,10 @@ int seek_to(VideoDec* v, int64_t target) {
 
 extern "C" {
 
-void* vd_open(const char* path, int num_threads) {
+// target_short_edge > 0: scale so the short edge equals it (preserving
+// aspect, floor like torchvision Resize) during the RGB conversion — the
+// resize rides the mandatory swscale pass for free.
+void* vd_open(const char* path, int num_threads, int target_short_edge) {
   av_log_set_level(AV_LOG_ERROR);
   VideoDec* v = new (std::nothrow) VideoDec();
   if (!v) return nullptr;
@@ -164,6 +169,17 @@ void* vd_open(const char* path, int num_threads) {
   v->fps = stream_fps(st);
   v->width = v->codec->width;
   v->height = v->codec->height;
+  v->out_w = v->width;
+  v->out_h = v->height;
+  if (target_short_edge > 0) {
+    if (v->height <= v->width) {
+      v->out_h = target_short_edge;
+      v->out_w = (int)((int64_t)target_short_edge * v->width / v->height);
+    } else {
+      v->out_w = target_short_edge;
+      v->out_h = (int)((int64_t)target_short_edge * v->height / v->width);
+    }
+  }
   v->num_frames = st->nb_frames;
   if (v->num_frames <= 0 && st->duration != AV_NOPTS_VALUE) {
     v->num_frames =
@@ -175,8 +191,8 @@ void* vd_open(const char* path, int num_threads) {
 
 int64_t vd_num_frames(void* h) { return ((VideoDec*)h)->num_frames; }
 double vd_fps(void* h) { return ((VideoDec*)h)->fps; }
-int vd_width(void* h) { return ((VideoDec*)h)->width; }
-int vd_height(void* h) { return ((VideoDec*)h)->height; }
+int vd_width(void* h) { return ((VideoDec*)h)->out_w; }
+int vd_height(void* h) { return ((VideoDec*)h)->out_h; }
 const char* vd_error(void* h) { return ((VideoDec*)h)->err; }
 
 // out: caller buffer of n * height * width * 3 bytes (RGB24, frame-major,
@@ -184,14 +200,14 @@ const char* vd_error(void* h) { return ((VideoDec*)h)->err; }
 // Python wrapper sorts and restores order); repeats are allowed.
 int vd_get_batch(void* h, const int64_t* indices, int n, uint8_t* out) {
   VideoDec* v = (VideoDec*)h;
-  const int W = v->width, H = v->height;
+  const int W = v->out_w, H = v->out_h;
   if (!v->sws) {
     // dithering advances internal state per call, making repeated conversions
     // of the same frame differ by +-1 LSB; disable it for determinism
     v->sws = sws_alloc_context();
     if (v->sws) {
-      av_opt_set_int(v->sws, "srcw", W, 0);
-      av_opt_set_int(v->sws, "srch", H, 0);
+      av_opt_set_int(v->sws, "srcw", v->width, 0);
+      av_opt_set_int(v->sws, "srch", v->height, 0);
       av_opt_set_int(v->sws, "src_format", v->codec->pix_fmt, 0);
       av_opt_set_int(v->sws, "dstw", W, 0);
       av_opt_set_int(v->sws, "dsth", H, 0);
@@ -251,7 +267,7 @@ int vd_get_batch(void* h, const int64_t* indices, int n, uint8_t* out) {
 
     uint8_t* dst[1] = {out + (int64_t)i * H * W * 3};
     int dst_stride[1] = {W * 3};
-    sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, H, dst,
+    sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height, dst,
               dst_stride);
   }
   return 0;

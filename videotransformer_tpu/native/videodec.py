@@ -38,7 +38,7 @@ def get_lib():
             _build()
         lib = ctypes.CDLL(_SO)
         lib.vd_open.restype = ctypes.c_void_p
-        lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.vd_num_frames.restype = ctypes.c_int64
         lib.vd_num_frames.argtypes = [ctypes.c_void_p]
         lib.vd_fps.restype = ctypes.c_double
@@ -60,9 +60,10 @@ def get_lib():
 
 
 class NativeVideoReader:
-    def __init__(self, path, num_threads=1):
+    def __init__(self, path, num_threads=1, short_edge=0):
         self._lib = get_lib()
-        self._h = self._lib.vd_open(path.encode(), int(num_threads))
+        self._h = self._lib.vd_open(path.encode(), int(num_threads),
+                                    int(short_edge or 0))
         if not self._h:
             raise IOError(f"native decoder could not open {path}")
         self.path = path

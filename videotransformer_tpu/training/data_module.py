@@ -12,7 +12,8 @@ import jax
 
 from videotransformer_tpu.data import transforms as T
 from videotransformer_tpu.data.dataset import Kinetics
-from videotransformer_tpu.data.pipeline import Loader, collate_mim, collate_supervised
+from videotransformer_tpu.data.pipeline import (
+    Loader, collate_mim, collate_raw, collate_supervised)
 
 
 def dataset_statistics(name):
@@ -57,8 +58,15 @@ class KineticsDataModule:
 
         temporal_sample = T.TemporalRandomCrop(cfg.num_frames * cfg.frame_interval)
 
+        self.device_augment = bool(getattr(cfg, "device_augment", False)) \
+            and cfg.objective == "supervised"
+
         self.train_dataset = None
-        if self.train_ann_path:
+        if self.train_ann_path and self.device_augment:
+            self.train_dataset = Kinetics(
+                cfg, self.train_ann_path, transform=None,
+                temporal_sample=temporal_sample, raw_clips=True)
+        elif self.train_ann_path:
             train_transform = T.create_video_transform(
                 objective=cfg.objective,
                 input_size=cfg.img_size,
@@ -112,7 +120,10 @@ class KineticsDataModule:
         )
 
     def train_loader(self):
-        collate = collate_mim if self.configs.objective == "mim" else collate_supervised
+        if self.device_augment:
+            collate = collate_raw
+        else:
+            collate = collate_mim if self.configs.objective == "mim" else collate_supervised
         return self._loader(self.train_dataset, shuffle=True, drop_last=True,
                             collate_fn=collate)
 

@@ -263,7 +263,21 @@ class VideoTransformerTrainer:
                         deterministic=False, rngs={"dropout": drop_key})
                     return loss, {}
             else:
-                video, labels = batch["video"], batch["label"]
+                if "raw_video" in batch:
+                    # TPU hot path: augmentation fused into the step
+                    from videotransformer_tpu.data.device_augment import augment_batch
+                    from videotransformer_tpu.training.data_module import (
+                        dataset_statistics)
+
+                    aug_key, mix_key = jax.random.split(mix_key)
+                    mean, std = dataset_statistics(
+                        getattr(cfg, "data_statics", "kinetics"))
+                    video = augment_batch(
+                        aug_key, batch["raw_video"], out_size=cfg.img_size,
+                        mean=mean, std=std)
+                    labels = batch["label"]
+                else:
+                    video, labels = batch["video"], batch["label"]
                 if use_mixup:
                     mixed_video, soft_labels = self.mixup_fn(mix_key, video, labels)
                 else:
