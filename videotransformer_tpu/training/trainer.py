@@ -173,12 +173,21 @@ class VideoTransformerTrainer:
         else:
             opt_tree = params
 
-        self.params = replicate(self.mesh, params)
+        # placement: replicated for pure DP; Megatron-style column/row sharding
+        # over the 'model' axis when the mesh carries one (tensor parallel —
+        # TPU-native extension, see parallel/tp.py)
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            from videotransformer_tpu.parallel.tp import shard_params_tp
+
+            self.params = shard_params_tp(self.mesh, params)
+        else:
+            self.params = replicate(self.mesh, params)
         is_pretrain = not self.supervised
         self.optimizer = build_optimizer(configs, opt_tree, is_pretrain=is_pretrain)
         with self.mesh:
-            self.opt_state = replicate(self.mesh, self.optimizer.init(
-                self._opt_subtree(params)))
+            # zeros_like preserves each param's sharding, so the optimizer
+            # state lands with the same layout as the params
+            self.opt_state = self.optimizer.init(self._opt_subtree(self.params))
 
         self.max_top1_acc = 0.0
         self.epoch = 0
