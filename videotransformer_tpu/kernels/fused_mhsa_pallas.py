@@ -1,0 +1,157 @@
+"""Fused prenorm multi-head self-attention Pallas kernel.
+
+One kernel computes, per sequence in the batch:
+
+    xn  = LayerNorm(x) * scale + bias            (VPU, fp32 stats)
+    qkv = xn @ W_qkv + b_qkv                     (MXU)
+    per head: o_h = softmax(q_h k_h^T * s) v_h   (MXU + VPU, fp32 softmax)
+    out = concat(o_h) @ W_proj + b_proj + x      (MXU, residual add)
+
+This is the TPU replacement for the reference's hot path
+LayerNorm -> Attention(qkv/softmax/proj) -> residual
+(transformer.py:153-177 + the prenorm wrappers): instead of five HBM round
+trips for x/qkv/probs/attn-out/proj-out, activations stay in VMEM for the
+whole block; the projection weights are grid-invariant so Mosaic keeps them
+resident across programs.
+
+Used by the divided SPATIAL attention (N = 197) and joint attention; the tiny
+temporal attention stays on the VPU broadcast path (ops/blocks._sdpa_small_n).
+
+Backward: custom VJP recomputing through the pure-jnp reference implementation
+(flash-style recompute; O(N·D) residuals only).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            o_ref, *, num_heads, scale, ln_eps, add_residual):
+    x = x_ref[0]  # (N, D)
+    N, D = x.shape
+    hd = D // num_heads
+
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = xn * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+
+    qkv = (
+        jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(x.dtype)  # (N, 3D)
+
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, D + h * hd : D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (N, N)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        outs.append(o.astype(x.dtype))
+    attn_out = jnp.concatenate(outs, axis=-1)  # (N, D)
+
+    out = (
+        jnp.dot(attn_out, wproj_ref[:], preferred_element_type=jnp.float32)
+        + bproj_ref[:].astype(jnp.float32)
+    )
+    if add_residual:
+        out = out + x.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                   num_heads, scale, ln_eps, add_residual=True):
+    """Pure-jnp reference (also the backward recompute path)."""
+    B, N, D = x.shape
+    hd = D // num_heads
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + ln_eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = (jnp.einsum("bnd,de->bne", xn, wqkv,
+                      preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(x.dtype), v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    out = (jnp.einsum("bnd,de->bne", o, wproj,
+                      preferred_element_type=jnp.float32)
+           + bproj.astype(jnp.float32))
+    if add_residual:
+        out = out + x.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+         num_heads, scale, ln_eps, add_residual):
+    B, N, D = x.shape
+    grid = (B,)
+    full = lambda *_: (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, scale=scale,
+                          ln_eps=ln_eps, add_residual=add_residual),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D, 3 * D), full),
+            pl.BlockSpec((3 * D,), lambda i: (0,)),
+            pl.BlockSpec((D, D), full),
+            pl.BlockSpec((D,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=B * (2 * N * D * 3 * D + 4 * N * N * D + 2 * N * D * D),
+            bytes_accessed=(2 * B * N * D + D * 4 * D) * x.dtype.itemsize,
+            transcendentals=B * N * N * num_heads,
+        ),
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                       num_heads, scale, ln_eps=1e-5, add_residual=True):
+    """x (B, N, D) -> LayerNorm -> MHSA -> proj [-> +x]. Weights flax layout
+    (in, out)."""
+    return _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                num_heads, scale, ln_eps, add_residual)
+
+
+def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+             num_heads, scale, ln_eps, add_residual):
+    out = _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+               num_heads, scale, ln_eps, add_residual)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+
+
+def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda *a: _reference_jnp(*a, num_heads=num_heads, scale=scale,
+                                  ln_eps=ln_eps, add_residual=add_residual),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    return vjp(g)
+
+
+fused_prenorm_mhsa.defvjp(_vjp_fwd, _vjp_bwd)

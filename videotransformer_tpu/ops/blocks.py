@@ -177,6 +177,19 @@ class Attention(nn.Module):
         return out, attn
 
 
+def _use_fused_mhsa(mod, x, return_attention) -> bool:
+    """Fused prenorm-MHSA kernel eligibility: TPU backend, no attention-weight
+    request, no attention dropout, sequence long enough that the per-head
+    matmuls tile the MXU (the tiny temporal N stays on the VPU path)."""
+    return (
+        not return_attention
+        and not mod.is_initializing()
+        and mod.attn_drop == 0.0
+        and x.shape[1] >= 64
+        and vt_config.use_pallas_attention()
+    )
+
+
 class DividedTemporalAttention(nn.Module):
     """Temporal half of divided space-time attention.
 
@@ -255,6 +268,10 @@ class DividedSpatialAttention(nn.Module):
     Same as the temporal half but folding frames into batch:
     ``b (p t) d -> (b t) p d`` (reshape + transpose), no temporal_fc, and the
     cls token — when present — is averaged over frames on the way back.
+
+    On TPU (no dropout, no attention-weight request) the prenorm + QKV +
+    attention + out-projection runs as ONE fused Pallas kernel
+    (kernels/fused_mhsa_pallas.py); init and CPU use the module path.
     """
 
     embed_dims: int
@@ -266,7 +283,34 @@ class DividedSpatialAttention(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.attn = Attention(
+            self.embed_dims, self.num_heads, qkv_bias=True,
+            attn_drop=self.attn_drop, dtype=self.dtype)
+        self.post_drop = nn.Dropout(self.proj_drop)
+        self.layer_drop = DropPath(self.drop_path_rate)
+
+    def _prenorm_mhsa(self, x, deterministic, return_attention):
+        if _use_fused_mhsa(self, x, return_attention):
+            from videotransformer_tpu.kernels.fused_mhsa_pallas import (
+                fused_prenorm_mhsa)
+
+            np_ = self.norm.variables["params"]
+            ap = self.attn.variables["params"]
+            head_dim = self.embed_dims // self.num_heads
+            return fused_prenorm_mhsa(
+                x.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                self.num_heads, head_dim**-0.5, 1e-5, False), None
+        xn = self.norm(x)
+        return self.attn(xn, deterministic=deterministic,
+                         need_weights=return_attention)
+
     def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
         cls_token = query[:, :1, :]
         query = query[:, 1:, :]
@@ -284,22 +328,12 @@ class DividedSpatialAttention(nn.Module):
             cls_rep = cls_rep.reshape(b * t, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        attn_out, attn_w = Attention(
-            self.embed_dims,
-            self.num_heads,
-            qkv_bias=True,
-            attn_drop=self.attn_drop,
-            dtype=self.dtype,
-            name="attn",
-        )(x, deterministic=deterministic, need_weights=return_attention)
+        attn_out, attn_w = self._prenorm_mhsa(x, deterministic, return_attention)
         if return_attention:
             return attn_w
 
-        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
-        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
-            attn_out, deterministic=deterministic
-        )
+        attn_out = self.post_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
 
         if self.use_cls_token:
             new_cls = attn_out[:, 0, :].reshape(b, t, d).mean(axis=1, keepdims=True)
@@ -320,7 +354,7 @@ class DividedSpatialAttention(nn.Module):
 
 class JointAttention(nn.Module):
     """Prenorm joint MHSA with residual (reference MultiheadAttentionWithPreNorm,
-    transformer.py:385-456)."""
+    transformer.py:385-456). Uses the fused Pallas prenorm-MHSA kernel on TPU."""
 
     embed_dims: int
     num_heads: int
@@ -329,24 +363,39 @@ class JointAttention(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.attn = Attention(
+            self.embed_dims, self.num_heads, qkv_bias=True,
+            attn_drop=self.attn_drop, dtype=self.dtype)
+        self.post_drop = nn.Dropout(self.proj_drop)
+        self.layer_drop = DropPath(self.drop_path_rate)
+
     def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
         residual = query
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(query)
-        attn_out, attn_w = Attention(
-            self.embed_dims,
-            self.num_heads,
-            qkv_bias=True,
-            attn_drop=self.attn_drop,
-            dtype=self.dtype,
-            name="attn",
-        )(x, deterministic=deterministic, need_weights=return_attention)
-        if return_attention:
-            return attn_w
-        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
-        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
-            attn_out, deterministic=deterministic
-        )
+        if _use_fused_mhsa(self, query, return_attention):
+            from videotransformer_tpu.kernels.fused_mhsa_pallas import (
+                fused_prenorm_mhsa)
+
+            np_ = self.norm.variables["params"]
+            ap = self.attn.variables["params"]
+            head_dim = self.embed_dims // self.num_heads
+            attn_out = fused_prenorm_mhsa(
+                query.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                self.num_heads, head_dim**-0.5, 1e-5, False)
+        else:
+            x = self.norm(query)
+            attn_out, attn_w = self.attn(
+                x, deterministic=deterministic, need_weights=return_attention)
+            if return_attention:
+                return attn_w
+        attn_out = self.post_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
         return residual + attn_out
 
 
