@@ -73,3 +73,37 @@ def test_dispatch_gate():
     assert out.shape == x.shape
     attn = mod.apply({"params": params}, x, return_attention=True)
     assert attn.shape == (2, 4, 100, 100)
+
+
+@pytest.mark.parametrize("shape", [(2, 65, 64), (3, 100, 64)])
+def test_fused_ffn_matches_reference(shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videotransformer_tpu.kernels.fused_ffn_pallas import (
+        _reference_jnp, fused_prenorm_ffn)
+
+    rng = np.random.RandomState(1)
+    B, N, D = shape
+    x = jnp.asarray(rng.randn(B, N, D) * 0.1, jnp.float32)
+    lns = jnp.asarray(rng.randn(D) * 0.1 + 1, jnp.float32)
+    lnb = jnp.asarray(rng.randn(D) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(D, 4 * D) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(4 * D) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.randn(4 * D, D) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(D) * 0.05, jnp.float32)
+
+    ref = _reference_jnp(x.reshape(-1, D), lns, lnb, w1, b1, w2, b2, 1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_prenorm_ffn(x, lns, lnb, w1, b1, w2, b2)
+        # gradients too
+        g = jax.grad(lambda *a: (fused_prenorm_ffn(*a) ** 2).sum(),
+                     argnums=(0, 3, 5))(x, lns, lnb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out).reshape(-1, D), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    g_ref = jax.grad(
+        lambda xx, ww1, ww2: (_reference_jnp(
+            xx.reshape(-1, D), lns, lnb, ww1, b1, ww2, b2, 1e-5) ** 2).sum(),
+        argnums=(0, 1, 2))(x, w1, w2)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)

@@ -400,7 +400,11 @@ class JointAttention(nn.Module):
 
 
 class FFN(nn.Module):
-    """Prenorm MLP with residual (reference FFNWithPreNorm, transformer.py:459-523)."""
+    """Prenorm MLP with residual (reference FFNWithPreNorm, transformer.py:459-523).
+
+    On TPU the 2-layer case runs as one fused Pallas kernel (LN + fc1 + GELU +
+    fc2; the 4D hidden never touches HBM) — kernels/fused_ffn_pallas.py.
+    """
 
     embed_dims: int
     hidden_channels: int
@@ -409,34 +413,56 @@ class FFN(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        residual = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+    def setup(self):
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        layers = []
         in_ch = self.embed_dims
         for i in range(self.num_layers - 1):
-            x = nn.Dense(
-                self.hidden_channels,
-                dtype=self.dtype,
+            layers.append(nn.Dense(
+                self.hidden_channels, dtype=self.dtype,
                 kernel_init=init.torch_linear_kernel_init(),
                 bias_init=init.torch_linear_bias_init(in_ch),
-                name=f"layers_{i}",
-            )(x)
-            # torch nn.GELU default = exact erf gelu
-            x = nn.gelu(x, approximate=False)
-            x = nn.Dropout(self.dropout_p)(x, deterministic=deterministic)
+                name=f"layers_{i}"))
             in_ch = self.hidden_channels
-        x = nn.Dense(
-            self.embed_dims,
-            dtype=self.dtype,
+        layers.append(nn.Dense(
+            self.embed_dims, dtype=self.dtype,
             kernel_init=init.torch_linear_kernel_init(),
             bias_init=init.torch_linear_bias_init(self.hidden_channels),
-            name=f"layers_{self.num_layers - 1}",
-        )(x)
-        x = nn.Dropout(self.dropout_p)(x, deterministic=deterministic)
-        x = DropPath(self.drop_path_rate, name="layer_drop")(
-            x, deterministic=deterministic
+            name=f"layers_{self.num_layers - 1}"))
+        self.layers = layers
+        self.drop = nn.Dropout(self.dropout_p)
+        self.layer_drop = DropPath(self.drop_path_rate)
+
+    def __call__(self, x, deterministic: bool = True):
+        residual = x
+        use_fused = (
+            self.num_layers == 2
+            and self.dropout_p == 0.0
+            and not self.is_initializing()
+            and vt_config.use_pallas_attention()
         )
+        if use_fused:
+            from videotransformer_tpu.kernels.fused_ffn_pallas import (
+                fused_prenorm_ffn)
+
+            np_ = self.norm.variables["params"]
+            p1 = self.layers[0].variables["params"]
+            p2 = self.layers[1].variables["params"]
+            x = fused_prenorm_ffn(
+                x.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
+                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype))
+        else:
+            x = self.norm(x)
+            for i, layer in enumerate(self.layers):
+                x = layer(x)
+                if i < self.num_layers - 1:
+                    # torch nn.GELU default = exact erf gelu
+                    x = nn.gelu(x, approximate=False)
+                    x = self.drop(x, deterministic=deterministic)
+            x = self.drop(x, deterministic=deterministic)
+        x = self.layer_drop(x, deterministic=deterministic)
         return residual + x
 
 
