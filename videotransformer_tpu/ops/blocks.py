@@ -208,7 +208,35 @@ class DividedTemporalAttention(nn.Module):
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.attn = Attention(
+            self.embed_dims, self.num_heads, qkv_bias=True,
+            attn_drop=self.attn_drop, dtype=self.dtype)
+        self.post_drop = nn.Dropout(self.proj_drop)
+        self.layer_drop = DropPath(self.drop_path_rate)
+        if not self.use_cls_token:
+            self.temporal_fc = nn.Dense(
+                self.embed_dims, dtype=self.dtype,
+                kernel_init=init.zeros_init, bias_init=init.zeros_init)
+
+    def _fused_eligible(self, deterministic, return_attention):
+        # the fused temporal kernel (kernels/fused_temporal_pallas.py) is
+        # currently DISABLED by default: Mosaic keeps the unrolled per-head
+        # broadcast intermediates alive and the required small group size
+        # makes it slower than the jnp VPU path (bench: 269 -> 190 clips/s).
+        # The jnp path already fuses well (see _sdpa_small_n).
+        if not vt_config.fused_temporal_enabled():
+            return False
+        return (
+            not return_attention
+            and not self.is_initializing()
+            and self.attn_drop == 0.0
+            and self.proj_drop == 0.0
+            and (deterministic or self.drop_path_rate == 0.0)
+            and vt_config.use_pallas_attention()
+        )
+
     def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
         cls_token = query[:, :1, :]  # (b, 1, d)
         query = query[:, 1:, :]
@@ -226,30 +254,38 @@ class DividedTemporalAttention(nn.Module):
             cls_rep = cls_rep.reshape(b * p, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        attn_out, attn_w = Attention(
-            self.embed_dims,
-            self.num_heads,
-            qkv_bias=True,
-            attn_drop=self.attn_drop,
-            dtype=self.dtype,
-            name="attn",
-        )(x, deterministic=deterministic, need_weights=return_attention)
-        if return_attention:
-            return attn_w
+        if self._fused_eligible(deterministic, return_attention):
+            from videotransformer_tpu.kernels.fused_temporal_pallas import (
+                fused_temporal_attention)
 
-        attn_out = nn.Dropout(self.proj_drop)(attn_out, deterministic=deterministic)
-        attn_out = DropPath(self.drop_path_rate, name="layer_drop")(
-            attn_out, deterministic=deterministic
-        )
-        if not self.use_cls_token:
-            attn_out = nn.Dense(
-                self.embed_dims,
-                dtype=self.dtype,
-                kernel_init=init.zeros_init,
-                bias_init=init.zeros_init,
-                name="temporal_fc",
-            )(attn_out)
+            np_ = self.norm.variables["params"]
+            ap = self.attn.variables["params"]
+            if self.use_cls_token:
+                wtfc = ap["proj"]["kernel"]  # unused dummy (has_tfc=False)
+                btfc = ap["proj"]["bias"]
+            else:
+                tp = self.temporal_fc.variables["params"]
+                wtfc, btfc = tp["kernel"], tp["bias"]
+            head_dim = self.embed_dims // self.num_heads
+            attn_out = fused_temporal_attention(
+                x.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                wtfc.astype(self.dtype), btfc.astype(self.dtype),
+                self.num_heads, head_dim**-0.5, 1e-5, not self.use_cls_token)
+        else:
+            xn = self.norm(x)
+            attn_out, attn_w = self.attn(
+                xn, deterministic=deterministic, need_weights=return_attention)
+            if return_attention:
+                return attn_w
+            attn_out = self.post_drop(attn_out, deterministic=deterministic)
+            attn_out = self.layer_drop(attn_out, deterministic=deterministic)
+            if not self.use_cls_token:
+                attn_out = self.temporal_fc(attn_out)
 
         if self.use_cls_token:
             new_cls = attn_out[:, 0, :].reshape(b, p, d).mean(axis=1, keepdims=True)
