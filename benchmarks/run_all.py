@@ -1,0 +1,192 @@
+"""Benchmark suite over the BASELINE.json config list.
+
+Prints one JSON line per config. The driver-facing headline metric stays in
+/root/repo/bench.py; this suite covers the wider matrix:
+
+1. TimeSformer-B divided_space_time 8x224 inference (+ p50 single-clip latency)
+2. TimeSformer attention-type ablation: space_only / joint_space_time
+3. ViViT-B fact_encoder 16x224 inference
+4. MViT-B MaskFeat pretrain step (16 frames, device-side HOG targets)
+5. supervised finetune train step (mixup + bf16 + fused kernels)
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    np.asarray(jax.tree.leaves(x)[0])
+
+
+def _throughput(run, args, n_batches, batch, reps=3):
+    _sync(run(*args))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = run(*args)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return batch * n_batches * reps / dt
+
+
+import jax  # noqa: E402  (after helpers so --help works without a device)
+import jax.numpy as jnp  # noqa: E402
+
+
+def bench_inference(arch, attention_type, num_frames, name):
+    from videotransformer_tpu.models import TimeSformer, ViViT
+    from videotransformer_tpu.ops.blocks import ClassificationHead
+
+    batch, n_batches = 8, 4
+    if arch == "timesformer":
+        model = TimeSformer(num_frames=num_frames, img_size=224,
+                            attention_type=attention_type, dtype=jnp.bfloat16)
+    else:
+        model = ViViT(num_frames=num_frames, img_size=224,
+                      attention_type=attention_type, dtype=jnp.bfloat16)
+    head = ClassificationHead(400, 768, dtype=jnp.bfloat16)
+    videos = jnp.asarray(
+        np.random.RandomState(0).rand(n_batches, batch, num_frames, 3, 224, 224),
+        jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), videos[0])["params"]
+    hp = jax.jit(head.init)(jax.random.PRNGKey(1), jnp.zeros((1, 768)))["params"]
+
+    @jax.jit
+    def run(p, hp, xs):
+        def body(c, v):
+            return c, head.apply({"params": hp}, model.apply({"params": p}, v))
+        _, o = jax.lax.scan(body, 0, xs)
+        return o
+
+    clips = _throughput(run, (params, hp, videos), n_batches, batch)
+
+    # p50 single-clip latency (batch 1, per-dispatch, host-synced)
+    one = videos[0][:1]
+    f1 = jax.jit(lambda p, hp, v: head.apply(
+        {"params": hp}, model.apply({"params": p}, v)))
+    np.asarray(f1(params, hp, one))
+    lats = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(f1(params, hp, one))
+        lats.append(time.perf_counter() - t0)
+    p50 = sorted(lats)[len(lats) // 2] * 1000
+
+    print(json.dumps({"config": name, "clips_per_sec_per_chip": round(clips, 1),
+                      "p50_single_clip_ms": round(p50, 2)}), flush=True)
+
+
+def bench_maskfeat_step():
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    cfg = SimpleNamespace(
+        objective="mim", arch="mvit", attention_type="divided_space_time",
+        num_class=400, num_frames=16, img_size=224, batch_size=2,
+        optim_type="adamw", lr=8e-4, lr_schedule="cosine", warmup_epochs=5,
+        min_lr=1e-6, weight_decay=0.05, weight_decay_end=0.05, clip_grad=0.0,
+        seed=0, mixup=False, eval_metrics="finetune", layer_decay=0.75,
+        use_fp16=True)
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    rng = np.random.RandomState(0)
+    B = 2
+    batch = shard_batch(tr.mesh, {
+        "video": rng.rand(B, 16, 3, 224, 224).astype(np.float32),
+        "raw": (rng.rand(B, 16, 3, 224, 224) * 255).astype(np.float32),
+        "mask": (rng.rand(B, 8, 14, 14) > 0.6).astype(np.int32),
+        "cube_marker": np.tile(
+            np.array([[[1, 2], [5, 1]] + [[0, 0]] * 6], np.int32), (B, 1, 1)),
+        "cube_count": np.full((B,), 2, np.int32)})
+
+    def step(s):
+        key = jax.random.fold_in(tr.base_key, s)
+        return tr._train_step(tr.params, tr.opt_state, batch, key,
+                              jnp.float32(8e-4), jnp.float32(0.05))
+
+    # two warmup steps: the first compiles, the second recompiles once more
+    # because donated outputs come back with a different (equivalent) sharding
+    for s in range(2):
+        tr.params, tr.opt_state, st = step(s)
+        _sync(st["loss"])
+    t0 = time.perf_counter()
+    for s in range(2, 7):
+        tr.params, tr.opt_state, st = step(s)
+    _sync(st["loss"])
+    ms = (time.perf_counter() - t0) / 5 * 1000
+    print(json.dumps({"config": "maskfeat_mvit_b_16f_224_pretrain_step_b2",
+                      "ms_per_step": round(ms, 1),
+                      "clips_per_sec": round(B / (ms / 1000), 1)}), flush=True)
+
+
+def bench_finetune_step():
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    cfg = SimpleNamespace(
+        objective="supervised", arch="timesformer",
+        attention_type="divided_space_time", num_class=400, num_frames=8,
+        img_size=224, batch_size=8, optim_type="adamw", lr=5e-3,
+        lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6, weight_decay=0.05,
+        weight_decay_end=0.05, clip_grad=1.0, seed=0, mixup=True,
+        eval_metrics="finetune", layer_decay=1.0, use_fp16=True,
+        device_augment=True, data_statics="kinetics")
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    rng = np.random.RandomState(0)
+    B = 8
+    batch = shard_batch(tr.mesh, {
+        "raw_video": (rng.rand(B, 8, 256, 342, 3) * 255).astype(np.uint8),
+        "label": (np.arange(B) % 400).astype(np.int32)})
+
+    def step(s):
+        key = jax.random.fold_in(tr.base_key, s)
+        return tr._train_step(tr.params, tr.opt_state, batch, key,
+                              jnp.float32(5e-3), jnp.float32(0.05))
+
+    for s in range(2):
+        tr.params, tr.opt_state, st = step(s)
+        _sync(st["loss"])
+    t0 = time.perf_counter()
+    for s in range(2, 7):
+        tr.params, tr.opt_state, st = step(s)
+    _sync(st["loss"])
+    ms = (time.perf_counter() - t0) / 5 * 1000
+    print(json.dumps({
+        "config": "timesformer_b_8f_224_finetune_step_b8_mixup_device_augment",
+        "ms_per_step": round(ms, 1),
+        "clips_per_sec": round(B / (ms / 1000), 1)}), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="headline configs only")
+    args = p.parse_args()
+
+    bench_inference("timesformer", "divided_space_time", 8,
+                    "timesformer_b_divided_8f_224_infer")
+    if not args.quick:
+        bench_inference("timesformer", "space_only", 8,
+                        "timesformer_b_space_only_8f_224_infer")
+        bench_inference("timesformer", "joint_space_time", 8,
+                        "timesformer_b_joint_8f_224_infer")
+        bench_inference("vivit", "fact_encoder", 16,
+                        "vivit_b_fact_encoder_16f_224_infer")
+        bench_maskfeat_step()
+        bench_finetune_step()
+
+
+if __name__ == "__main__":
+    main()

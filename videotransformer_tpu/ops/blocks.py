@@ -185,7 +185,11 @@ def _use_fused_mhsa(mod, x, return_attention) -> bool:
         not return_attention
         and not mod.is_initializing()
         and mod.attn_drop == 0.0
-        and x.shape[1] >= 64
+        # lower bound: short sequences stay on the VPU path; upper bound: the
+        # kernel keeps the full (N, N) score matrix per head in VMEM, which
+        # overflows past ~512 tokens — longer sequences (joint space-time)
+        # take the q-blocked flash kernel instead
+        and 64 <= x.shape[1] <= 512
         and vt_config.use_pallas_attention()
     )
 
