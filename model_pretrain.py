@@ -98,6 +98,14 @@ def single_run(argv=None):
 
     import jax
 
+    # multi-host: initialize the distributed runtime when launched under a
+    # multi-process coordinator (no-op on a single host)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized / single-process
+            print(f"jax.distributed.initialize skipped: {e}")
+
     from videotransformer_tpu.data import transforms as T
     from videotransformer_tpu.training.data_module import KineticsDataModule
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer

@@ -48,6 +48,23 @@ def timeit_wrapper(func):
     return with_time
 
 
+def build_param_groups(params, skip_keywords=("pos_embed", "cls_token", "mask_token")):
+    """Split a param pytree into (no_decay, decay) path lists
+    (reference utils.py:46-66 / optimizer.py:43-62 grouping rule)."""
+    import jax as _jax
+
+    flat, _ = _jax.tree_util.tree_flatten_with_path(params)
+    no_decay, decay = [], []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if leaf.ndim == 1 or name.endswith("bias") or any(
+                k in name for k in skip_keywords):
+            no_decay.append(name)
+        else:
+            decay.append(name)
+    return no_decay, decay
+
+
 def denormalize(data, mean, std):
     """Invert Normalize to uint8 pixels (reference utils.py:69-97).
 
