@@ -68,11 +68,12 @@ def _reference_jnp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
 def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     M, D = x2d.shape
     hidden = w1.shape[1]
+    d_out = w2.shape[1]  # may differ from D (MViT dim-expanding MLP)
     ROWS = 256
     grid = (pl.cdiv(M, ROWS),)
     return pl.pallas_call(
         functools.partial(_kernel, ln_eps=ln_eps),
-        out_shape=jax.ShapeDtypeStruct((M, D), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, d_out), x2d.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
@@ -80,13 +81,13 @@ def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D, hidden), lambda i: (0, 0)),
             pl.BlockSpec((hidden,), lambda i: (0,)),
-            pl.BlockSpec((hidden, D), lambda i: (0, 0)),
-            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((hidden, d_out), lambda i: (0, 0)),
+            pl.BlockSpec((d_out,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((ROWS, d_out), lambda i: (i, 0)),
         cost_estimate=pl.CostEstimate(
-            flops=4 * M * D * hidden,
-            bytes_accessed=(2 * M * D + 2 * D * hidden) * x2d.dtype.itemsize,
+            flops=2 * M * hidden * (D + d_out),
+            bytes_accessed=(M * (D + d_out) + (D + d_out) * hidden) * x2d.dtype.itemsize,
             transcendentals=M * hidden,
         ),
     )(x2d, ln_scale, ln_bias, w1, b1, w2, b2)
@@ -94,11 +95,12 @@ def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def fused_prenorm_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-5):
-    """x (..., D) -> LN -> fc1 -> erf-GELU -> fc2 (no residual)."""
+    """x (..., D) -> LN -> fc1 -> erf-GELU -> fc2 (no residual).
+    fc2 may change the feature dim (MViT dim-expanding MLP)."""
     shape = x.shape
     out = _fwd(x.reshape(-1, shape[-1]), ln_scale, ln_bias, w1, b1, w2, b2,
                ln_eps)
-    return out.reshape(shape)
+    return out.reshape(shape[:-1] + (w2.shape[1],))
 
 
 def _vjp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):

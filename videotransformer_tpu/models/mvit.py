@@ -189,15 +189,36 @@ class MultiScaleBlock(nn.Module):
     has_cls_embed: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, thw, deterministic: bool = True):
-        x_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        attn_out, thw_new = MultiScaleAttention(
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.attn = MultiScaleAttention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             kernel_q=self.kernel_q, kernel_kv=self.kernel_kv,
             stride_q=self.stride_q, stride_kv=self.stride_kv,
             has_cls_embed=self.has_cls_embed, dropout_rate=self.dropout_rate,
-            dtype=self.dtype, name="attn")(x_norm, thw, deterministic)
+            dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        hidden = int(self.dim * self.mlp_ratio)
+        self.mlp_fc1 = nn.Dense(
+            hidden, dtype=self.dtype,
+            kernel_init=init.trunc_normal_init(std=0.02),
+            bias_init=init.zeros_init)
+        self.mlp_fc2 = nn.Dense(
+            self.dim_out, dtype=self.dtype,
+            kernel_init=init.trunc_normal_init(std=0.02),
+            bias_init=init.zeros_init)
+        if self.dim != self.dim_out:
+            self.proj = nn.Dense(
+                self.dim_out, dtype=self.dtype,
+                kernel_init=init.trunc_normal_init(std=0.02),
+                bias_init=init.zeros_init)
+        self.drop_path1 = DropPath(self.droppath_rate)
+        self.drop_path2 = DropPath(self.droppath_rate)
+        self.mlp_drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, thw, deterministic: bool = True):
+        x_norm = self.norm1(x)
+        attn_out, thw_new = self.attn(x_norm, thw, deterministic)
 
         # skip-path pooling when Q is strided (pytorchvideo pool_skip)
         if len(self.stride_q) > 0 and int(np.prod(self.stride_q)) > 1:
@@ -215,27 +236,39 @@ class MultiScaleBlock(nn.Module):
         else:
             x_res = x
 
-        x = x_res + DropPath(self.droppath_rate, name="drop_path1")(
-            attn_out, deterministic=deterministic)
+        x = x_res + self.drop_path1(attn_out, deterministic=deterministic)
 
-        x_norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, dtype=self.dtype,
-                     kernel_init=init.trunc_normal_init(std=0.02),
-                     bias_init=init.zeros_init, name="mlp_fc1")(x_norm2)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        h = nn.Dense(self.dim_out, dtype=self.dtype,
-                     kernel_init=init.trunc_normal_init(std=0.02),
-                     bias_init=init.zeros_init, name="mlp_fc2")(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        from videotransformer_tpu import config as vt_config
 
-        if self.dim != self.dim_out:
-            x = nn.Dense(self.dim_out, dtype=self.dtype,
-                         kernel_init=init.trunc_normal_init(std=0.02),
-                         bias_init=init.zeros_init, name="proj")(x_norm2)
-        x = x + DropPath(self.droppath_rate, name="drop_path2")(
-            h, deterministic=deterministic)
+        use_fused_mlp = (
+            self.dim == self.dim_out  # residual proj needs norm2(x) anyway
+            and self.dropout_rate == 0.0
+            and not self.is_initializing()
+            and vt_config.use_pallas_attention()
+        )
+        if use_fused_mlp:
+            from videotransformer_tpu.kernels.fused_ffn_pallas import (
+                fused_prenorm_ffn)
+
+            np_ = self.norm2.variables["params"]
+            p1 = self.mlp_fc1.variables["params"]
+            p2 = self.mlp_fc2.variables["params"]
+            h = fused_prenorm_ffn(
+                x.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
+                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
+                1e-6)
+        else:
+            x_norm2 = self.norm2(x)
+            h = self.mlp_fc1(x_norm2)
+            h = nn.gelu(h, approximate=False)
+            h = self.mlp_drop(h, deterministic=deterministic)
+            h = self.mlp_fc2(h)
+            h = self.mlp_drop(h, deterministic=deterministic)
+            if self.dim != self.dim_out:
+                x = self.proj(x_norm2)
+        x = x + self.drop_path2(h, deterministic=deterministic)
         return x, thw_new
 
 
