@@ -17,8 +17,6 @@ pipeline — no host round-trip. Dynamic box slicing is replaced by a
 broadcasted coordinate mask (static shapes; jit-friendly).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

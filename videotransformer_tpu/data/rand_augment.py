@@ -10,8 +10,6 @@ Geometric ops run through cv2.warpAffine on the host (nearest-equivalent of
 torchvision's default InterpolationMode.NEAREST).
 """
 
-import math
-
 import cv2
 import numpy as np
 

@@ -11,8 +11,6 @@ The reference's hot kernel is a plain matmul+softmax Attention
 memory-efficient replacement.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

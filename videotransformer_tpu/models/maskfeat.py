@@ -16,12 +16,11 @@ Re-design of reference video_transformer.py:803-922:
 (model_trainer.py:203-204 uses ``forward_features(x)[:, 0]``).
 """
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from videotransformer_tpu.models.mvit import create_multiscale_vision_transformers
 from videotransformer_tpu.ops import initializers as init

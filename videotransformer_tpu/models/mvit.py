@@ -27,8 +27,7 @@ LayerNorm eps=1e-6 throughout (video_transformer.py:668-671).
 """
 
 import math
-from functools import partial
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ use the 'dropout' rng collection during training.
 """
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

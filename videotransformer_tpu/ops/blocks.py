@@ -30,7 +30,7 @@ surrounding matmuls; there is no data movement cost on TPU for the reshape-only
 (temporal) direction.
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,6 @@ Usage:
 """
 
 import argparse
-import colorsys
 import os
 
 import numpy as np

@@ -6,8 +6,6 @@ split; supervised -> color_jitter 0.4; dataset statistics imagenet / kinetics /
 0.5; val = Resize(crop_pct)+CenterCrop; test = Resize(-1,256)+ThreeCrop(224).
 """
 
-from functools import partial
-
 import jax
 
 from videotransformer_tpu.data import transforms as T

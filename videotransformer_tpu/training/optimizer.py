@@ -21,11 +21,10 @@ Implementation: a single custom optax-style transformation whose update takes
 The whole update is jit-compatible and mesh-agnostic (pure pytree math).
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 SKIP_KEYWORDS = ("pos_embed", "cls_token", "mask_token")
 

@@ -25,7 +25,7 @@ import os
 import os.path as osp
 import time
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 
@@ -33,8 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from videotransformer_tpu.data.mixup import Mixup
-from videotransformer_tpu.parallel.mesh import (
-    batch_sharding, create_mesh, replicate, replicated_sharding)
+from videotransformer_tpu.parallel.mesh import create_mesh, replicate
 from videotransformer_tpu.training import schedules
 from videotransformer_tpu.training.metrics import AccuracyMeter, topk_correct
 from videotransformer_tpu.training.optimizer import build_optimizer
