@@ -33,15 +33,18 @@ def collate_supervised(samples):
 
 
 def collate_mim(samples, max_cubes=8):
-    """mim batch: (video, raw_or_hog, mask, cube_marker) per sample
-    (data_trainer.py:15-36), with cube_marker padded to (B, max_cubes, 2)."""
+    """mim batch: (video, target, mask, cube_marker) per sample
+    (data_trainer.py:15-36), with cube_marker padded to (B, max_cubes, 2).
+
+    The target is either precomputed host HOG features (T, h, w, 108) or the
+    un-normalized raw clip (T, C, H, W) for device-side HOG — distinguished by
+    the channel position (raw clips carry C=3 at axis 1)."""
     videos = np.stack([s[0] for s in samples]).astype(np.float32)
     second = np.stack([s[1] for s in samples]).astype(np.float32)
     masks = np.stack([s[2] for s in samples]).astype(np.int32)
     markers, counts = pad_cube_marker([s[3] for s in samples], max_cubes)
-    key = "hog" if second.ndim == 4 or second.shape[-1] == 108 else "raw"
-    if second.ndim == 5 and second.shape[2] == 3:
-        key = "raw"  # un-normalized clip (T, C, H, W); HOG computed on device
+    is_raw = second.ndim == 5 and second.shape[2] == 3
+    key = "raw" if is_raw else "hog"
     return {"video": videos, key: second, "mask": masks,
             "cube_marker": markers, "cube_count": counts}
 
