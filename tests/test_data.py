@@ -216,3 +216,42 @@ def test_native_decoder_matches_cv2():
     # repeated index within one batch decodes once -> bit-identical
     rep = vr.get_batch(np.array([10, 10, 10]))
     np.testing.assert_array_equal(rep[0], rep[1])
+
+
+def test_rand_augment_all_ops():
+    """Every RandAugment op runs and keeps shape/range (clip-consistent)."""
+    from videotransformer_tpu.data.rand_augment import RandAugment
+
+    rng = np.random.RandomState(7)
+    clip = (rng.rand(2, 3, 64, 64) * 255).astype(np.float32)
+    ra = RandAugment(num_ops=2, magnitude=9)
+    space = ra._space()
+    for name in space:
+        mags, signed = space[name]
+        mag = float(mags[9]) if mags is not None else 0.0
+        ra._chosen = [(name, mag)]
+        out = ra(clip.copy())
+        assert out.shape == clip.shape, name
+        assert np.isfinite(out).all(), name
+        assert out.min() >= 0.0 and out.max() <= 255.0, name
+    # randomize draws valid ops
+    ra.randomize_parameters()
+    assert len(ra._chosen) == 2
+    out = ra(clip.copy())
+    assert out.shape == clip.shape
+
+
+def test_transforms_train_mim_pair():
+    """mim objective returns a [pre, post] transform pair
+    (data_transform.py:540-543)."""
+    pair = T.transforms_train(img_size=32, scale=(0.5, 1.0), color_jitter=None,
+                              objective="mim")
+    assert isinstance(pair, list) and len(pair) == 2
+    rng = np.random.RandomState(0)
+    clip = (rng.rand(2, 3, 48, 48) * 255).astype(np.float32)
+    pair[0].randomize_parameters()
+    pre = pair[0](clip)
+    assert pre.shape == (2, 3, 32, 32)
+    assert pre.max() > 1.5  # un-normalized pixels for HOG
+    post = pair[1](pre)
+    assert abs(float(post.mean())) < 3.0
