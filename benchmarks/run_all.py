@@ -85,6 +85,33 @@ def bench_inference(arch, attention_type, num_frames, name):
                       "p50_single_clip_ms": round(p50, 2)}), flush=True)
 
 
+def bench_mvit_inference():
+    """MViT-B supervised features (forward_features[:, 0]), 16x224."""
+    from videotransformer_tpu.models.maskfeat import MaskFeat
+
+    batch, n_batches = 4, 4
+    model = MaskFeat(pool_q_stride_size=((1, 1, 2, 2), (3, 1, 2, 2)),
+                     feature_dim=216, num_frames=16, dtype=jnp.bfloat16)
+    videos = jnp.asarray(
+        np.random.RandomState(0).rand(n_batches, batch, 16, 3, 224, 224),
+        jnp.float32)
+    params = jax.jit(
+        lambda k, v: model.init(k, v, None, None, None, None))(
+            jax.random.PRNGKey(0), videos[0])["params"]
+
+    @jax.jit
+    def run(p, xs):
+        def body(c, v):
+            feats = model.apply({"params": p}, v, method="forward_features")
+            return c, feats[:, 0]
+        _, o = jax.lax.scan(body, 0, xs)
+        return o
+
+    clips = _throughput(run, (params, videos), n_batches, batch)
+    print(json.dumps({"config": "mvit_b_supervised_16f_224_infer",
+                      "clips_per_sec_per_chip": round(clips, 1)}), flush=True)
+
+
 def bench_maskfeat_step():
     from types import SimpleNamespace
 
@@ -184,6 +211,7 @@ def main():
                         "timesformer_b_joint_8f_224_infer")
         bench_inference("vivit", "fact_encoder", 16,
                         "vivit_b_fact_encoder_16f_224_infer")
+        bench_mvit_inference()
         bench_maskfeat_step()
         bench_finetune_step()
 

@@ -269,3 +269,33 @@ def test_checkpoint_roundtrip(monkeypatch, tmp_path):
     for a, b in zip(jax.tree.leaves(jax.device_get(tr.params)),
                     jax.tree.leaves(jax.device_get(tr2.params))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_eval_padding_on_mesh(monkeypatch):
+    """Eval batches that don't divide the mesh get padded with label -1 and
+    metrics count only real samples."""
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs()
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None, do_eval=True)
+    rng = np.random.RandomState(0)
+    # 5 samples on an 8-device mesh
+    batch = {"video": rng.rand(5, 2, 3, 32, 32).astype(np.float32),
+             "label": (np.arange(5) % 10).astype(np.int32)}
+    padded = tr._pad_eval_batch(batch, 1)
+    assert padded["video"].shape[0] == 8 and padded["label"].shape[0] == 8
+    assert (padded["label"][5:] == -1).all()
+    from videotransformer_tpu.parallel.mesh import shard_batch
+
+    stats = tr._eval_step(tr.params, shard_batch(tr.mesh, padded), 1)
+    assert int(stats["bs"]) == 5
+    assert int(stats["top1"]) <= 5
+
+    # three-crop variant: 5 clips -> 15 crop rows -> padded to 24 rows
+    batch3 = {"video": rng.rand(15, 2, 3, 32, 32).astype(np.float32),
+              "label": (np.arange(5) % 10).astype(np.int32)}
+    padded3 = tr._pad_eval_batch(batch3, 3)
+    assert padded3["video"].shape[0] == 24 and padded3["label"].shape[0] == 8
+    stats3 = tr._eval_step(tr.params, shard_batch(tr.mesh, padded3), 3)
+    assert int(stats3["bs"]) == 5

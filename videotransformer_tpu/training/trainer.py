@@ -334,10 +334,28 @@ class VideoTransformerTrainer:
             logits = self.cls_head.apply({"params": params["cls_head"]}, feats)
             if n_crops > 1:
                 logits = logits.reshape(-1, n_crops, logits.shape[-1]).mean(axis=1)
+            # labels == -1 mark mesh-divisibility padding rows: they never
+            # match a top-k index, and they don't count toward the total
             correct = topk_correct(logits, batch["label"])
-            return {"top1": correct[1], "top5": correct[5], "bs": logits.shape[0]}
+            valid = (batch["label"] >= 0).sum()
+            return {"top1": correct[1], "top5": correct[5], "bs": valid}
 
         return jax.jit(step, static_argnums=(2,))
+
+    def _pad_eval_batch(self, batch, n_crops=1):
+        """Pad an eval batch so the leading dim divides the mesh; padded rows
+        carry label -1 (ignored by the metric)."""
+        n_dev = self.mesh.devices.size
+        labels = batch["label"]
+        b = labels.shape[0]
+        pad = (-b) % n_dev
+        if pad == 0 and (labels.shape[0] * n_crops) % n_dev == 0:
+            return batch
+        video = batch["video"]
+        video = np.concatenate(
+            [video, np.zeros((pad * n_crops,) + video.shape[1:], video.dtype)])
+        labels = np.concatenate([labels, np.full((pad,), -1, labels.dtype)])
+        return {"video": video, "label": labels}
 
     # ------------------------------------------------------------------
     def current_lr(self, max_epochs):
@@ -405,7 +423,8 @@ class VideoTransformerTrainer:
         from videotransformer_tpu.data.pipeline import device_prefetch
 
         self.val_meter.reset()
-        for batch in device_prefetch(loader, self.mesh):
+        padded = (self._pad_eval_batch(b, 1) for b in loader)
+        for batch in device_prefetch(padded, self.mesh):
             stats = self._eval_step(self.params, batch, 1)
             self.val_meter.update({1: stats["top1"], 5: stats["top5"]}, stats["bs"])
         top1 = self.val_meter.compute(1)
@@ -427,7 +446,8 @@ class VideoTransformerTrainer:
         from videotransformer_tpu.data.pipeline import device_prefetch
 
         self.test_meter.reset()
-        for batch in device_prefetch(loader, self.mesh):
+        padded = (self._pad_eval_batch(b, self.n_crops) for b in loader)
+        for batch in device_prefetch(padded, self.mesh):
             stats = self._eval_step(self.params, batch, self.n_crops)
             self.test_meter.update({1: stats["top1"], 5: stats["top5"]}, stats["bs"])
         top1, top5 = self.test_meter.compute(1), self.test_meter.compute(5)
