@@ -88,6 +88,9 @@ def parse_args(argv=None):
     # TPU-native extension (not in the reference): decode fixed-size uint8
     # clips and run all train augmentation on device inside the jitted step
     parser.add_argument("-device_augment", type=bool, default=False)
+    parser.add_argument("-remat", type=bool, default=False,
+                        help="activation rematerialization (jax.checkpoint) "
+                             "per transformer block: less HBM, ~30%% more step time")
 
     return parser.parse_args(argv)
 

@@ -299,3 +299,26 @@ def test_eval_padding_on_mesh(monkeypatch):
     assert padded3["video"].shape[0] == 24 and padded3["label"].shape[0] == 8
     stats3 = tr._eval_step(tr.params, shard_batch(tr.mesh, padded3), 3)
     assert int(stats3["bs"]) == 5
+
+
+def test_remat_same_outputs_and_grads():
+    """remat=True must not change forward values or gradients."""
+    from videotransformer_tpu.models import TimeSformer
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 2, 3, 32, 32), jnp.float32)
+    kwargs = dict(num_frames=2, img_size=32, patch_size=16, embed_dims=32,
+                  num_heads=4, num_transformer_layers=2)
+    m0 = TimeSformer(**kwargs)
+    m1 = TimeSformer(remat=True, **kwargs)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+
+    out0 = m0.apply({"params": params}, x)
+    out1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-6)
+
+    g0 = jax.grad(lambda p: (m0.apply({"params": p}, x) ** 2).sum())(params)
+    g1 = jax.grad(lambda p: (m1.apply({"params": p}, x) ** 2).sum())(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -77,6 +77,7 @@ class TimeSformer(nn.Module):
     use_learnable_pos_emb: bool = True
     return_cls_token: bool = True
     drop_path_rate: float = 0.1
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -105,6 +106,7 @@ class TimeSformer(nn.Module):
             hidden_channels=self.embed_dims * 4,
             operator_order=self.operator_order,
             drop_path_rate=self.drop_path_rate,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)

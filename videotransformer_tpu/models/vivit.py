@@ -52,6 +52,7 @@ class ViViT(nn.Module):
     return_cls_token: bool = True
     num_time_transformer_layers: int = 4
     drop_path_rate: float = 0.1
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -82,6 +83,7 @@ class ViViT(nn.Module):
                 hidden_channels=self.embed_dims * 4,
                 operator_order=self.operator_order,
                 drop_path_rate=self.drop_path_rate,
+                remat=self.remat,
                 dtype=self.dtype,
             )
         elif self.attention_type == "joint_space_time":
@@ -94,6 +96,7 @@ class ViViT(nn.Module):
                 hidden_channels=self.embed_dims * 4,
                 operator_order=self.operator_order,
                 drop_path_rate=self.drop_path_rate,
+                remat=self.remat,
                 dtype=self.dtype,
             )
         else:  # fact_encoder
@@ -106,6 +109,7 @@ class ViViT(nn.Module):
                 hidden_channels=self.embed_dims * 4,
                 operator_order=("self_attn", "ffn"),
                 drop_path_rate=self.drop_path_rate,
+                remat=self.remat,
                 dtype=self.dtype,
             )
             self.temporal_transformer = TransformerContainer(
@@ -116,6 +120,7 @@ class ViViT(nn.Module):
                 hidden_channels=self.embed_dims * 4,
                 operator_order=("self_attn", "ffn"),
                 drop_path_rate=self.drop_path_rate,
+                remat=self.remat,
                 dtype=self.dtype,
             )
 

@@ -591,7 +591,12 @@ class BasicTransformerBlock(nn.Module):
 
 class TransformerContainer(nn.Module):
     """Stack of BasicTransformerBlocks with DropPath linspace 0 -> drop_path_rate
-    (transformer.py:526-565)."""
+    (transformer.py:526-565).
+
+    ``remat=True`` wraps each block in jax.checkpoint (activation
+    rematerialization): activations are recomputed in the backward pass,
+    trading ~30% step time for O(depth) less activation memory — the standard
+    lever for scaling batch/frames on HBM-limited chips."""
 
     num_transformer_layers: int
     embed_dims: int
@@ -600,14 +605,21 @@ class TransformerContainer(nn.Module):
     hidden_channels: int
     operator_order: Sequence[str]
     drop_path_rate: float = 0.1
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
         dpr = np.linspace(0, self.drop_path_rate, self.num_transformer_layers)
+        block_cls = BasicTransformerBlock
+        use_remat = self.remat and not return_attention
+        if use_remat:
+            # arg 0 is the module itself under nn.remat; deterministic (arg 2)
+            # must be static and passed positionally
+            block_cls = nn.remat(BasicTransformerBlock, static_argnums=(2,))
         for i in range(self.num_transformer_layers):
             last = i == self.num_transformer_layers - 1
-            block = BasicTransformerBlock(
+            block = block_cls(
                 embed_dims=self.embed_dims,
                 num_heads=self.num_heads,
                 num_frames=self.num_frames,
@@ -619,7 +631,10 @@ class TransformerContainer(nn.Module):
             )
             if last and return_attention:
                 return block(x, deterministic=deterministic, return_attention=True)
-            x = block(x, deterministic=deterministic)
+            if use_remat:
+                x = block(x, deterministic)
+            else:
+                x = block(x, deterministic=deterministic)
         return x
 
 

@@ -77,6 +77,7 @@ def build_model(configs):
             img_size=configs.img_size,
             num_frames=configs.num_frames,
             attention_type=configs.attention_type,
+            remat=getattr(configs, "remat", False),
             dtype=dtype,
         )
     if configs.arch == "timesformer":
@@ -84,6 +85,7 @@ def build_model(configs):
             img_size=configs.img_size,
             num_frames=configs.num_frames,
             attention_type=configs.attention_type,
+            remat=getattr(configs, "remat", False),
             dtype=dtype,
         )
     raise ValueError(configs.arch)
