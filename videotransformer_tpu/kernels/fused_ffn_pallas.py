@@ -17,6 +17,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _erf(x):

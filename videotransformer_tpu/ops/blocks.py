@@ -186,10 +186,10 @@ def _use_fused_mhsa(mod, x, return_attention) -> bool:
         and not mod.is_initializing()
         and mod.attn_drop == 0.0
         # lower bound: short sequences stay on the VPU path; upper bound: the
-        # kernel keeps the full (N, N) score matrix per head in VMEM, which
-        # overflows past ~512 tokens — longer sequences (joint space-time)
-        # take the q-blocked flash kernel instead
-        and 64 <= x.shape[1] <= 512
+        # kernel keeps the full (N, N) score matrix per head in VMEM
+        # (fp32 N^2 + activations must fit the raised 100MB VMEM budget);
+        # longer sequences take the q-blocked flash kernel instead
+        and 64 <= x.shape[1] <= 2048
         and vt_config.use_pallas_attention()
     )
 
