@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
@@ -111,6 +112,8 @@ def _fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, wtfc, btfc,
             pl.BlockSpec((D,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((G, T, D), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=B * T * (2 * D * 3 * D + 4 * T * D + 2 * D * D * (2 if has_tfc else 1)),
             bytes_accessed=2 * B * T * D * x.dtype.itemsize,
