@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-            o_ref, *, num_heads, scale, ln_eps, add_residual):
+            o_ref, *rest, num_heads, scale, ln_eps, add_residual, with_qkv=False):
     x = x_ref[0]  # (N, D)
     N, D = x.shape
     hd = D // num_heads
@@ -46,6 +46,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:].astype(jnp.float32)
     ).astype(x.dtype)  # (N, 3D)
+    if with_qkv:
+        rest[0][0] = qkv  # saved for the split backward pass
 
     outs = []
     for h in range(num_heads):
@@ -101,15 +103,19 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-         num_heads, scale, ln_eps, add_residual):
+         num_heads, scale, ln_eps, add_residual, with_qkv=False):
     B, N, D = x.shape
     grid = (B,)
     full = lambda *_: (0, 0)
 
+    out_shape = jax.ShapeDtypeStruct((B, N, D), x.dtype)
+    if with_qkv:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype))
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
-                          ln_eps=ln_eps, add_residual=add_residual),
-        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                          ln_eps=ln_eps, add_residual=add_residual,
+                          with_qkv=with_qkv),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
@@ -120,7 +126,10 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((D, D), full),
             pl.BlockSpec((D,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+        out_specs=(
+            (pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+             pl.BlockSpec((1, N, 3 * D), lambda i: (i, 0, 0)))
+            if with_qkv else pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))),
         # v5e has ~128MB VMEM; the default ~16MB scoped limit blocks long
         # sequences (joint space-time N=1569 needs ~24MB). Only raise it
         # there: a high limit at small N makes Mosaic trade pipelining for
@@ -145,20 +154,75 @@ def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 num_heads, scale, ln_eps, add_residual)
 
 
+def _attn_tail(qkv, wproj, bproj, x_res, num_heads, scale, add_residual):
+    """Differentiable attention+projection tail operating on saved qkv."""
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    qkv_r = qkv.reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(qkv.dtype), v,
+                   preferred_element_type=jnp.float32).astype(qkv.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    out = (jnp.einsum("bnd,de->bne", o, wproj,
+                      preferred_element_type=jnp.float32)
+           + bproj.astype(jnp.float32))
+    if add_residual:
+        out = out + x_res.astype(jnp.float32)
+    return out.astype(qkv.dtype)
+
+
 def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
              num_heads, scale, ln_eps, add_residual):
-    out = _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-               num_heads, scale, ln_eps, add_residual)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    out, qkv = _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                    num_heads, scale, ln_eps, add_residual, with_qkv=True)
+    return out, (x, qkv, ln_scale, ln_bias, wqkv, wproj, bproj)
 
 
 def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj = res
-    _, vjp = jax.vjp(
-        lambda *a: _reference_jnp(*a, num_heads=num_heads, scale=scale,
-                                  ln_eps=ln_eps, add_residual=add_residual),
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
-    return vjp(g)
+    """Split backward: the saved qkv skips recomputing the LN + qkv matmul
+    forward (2/3 of the block's FLOPs); the LN/qkv backward is hand-written."""
+    x, qkv, ln_scale, ln_bias, wqkv, wproj, bproj = res
+
+    # tail (attention + proj [+ residual]) backward via autodiff on saved qkv
+    _, tail_vjp = jax.vjp(
+        lambda qkv_, wproj_, bproj_, xres_: _attn_tail(
+            qkv_, wproj_, bproj_, xres_, num_heads, scale, add_residual),
+        qkv, wproj, bproj, x)
+    d_qkv, d_wproj, d_bproj, d_x_res = tail_vjp(g)
+    if not add_residual:
+        d_x_res = jnp.zeros_like(d_x_res)
+
+    # recompute LN only (cheap, elementwise)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mean) * rstd
+    xn = (xhat * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+
+    # qkv projection backward (flax Dense semantics: y = xn @ W + b)
+    d_qkv_f = d_qkv.astype(jnp.float32)
+    B, N, D = x.shape
+    d_wqkv = jnp.einsum("bnd,bne->de", xn.astype(jnp.float32), d_qkv_f
+                        ).astype(wqkv.dtype)
+    d_bqkv = d_qkv_f.sum((0, 1)).astype(wqkv.dtype)
+    d_xn = jnp.einsum("bne,de->bnd", d_qkv_f, wqkv.astype(jnp.float32))
+
+    # LayerNorm backward
+    d_lns = (d_xn * xhat).sum((0, 1)).astype(ln_scale.dtype)
+    d_lnb = d_xn.sum((0, 1)).astype(ln_scale.dtype)
+    d_xhat = d_xn * ln_scale.astype(jnp.float32)
+    d_x = rstd * (d_xhat
+                  - d_xhat.mean(-1, keepdims=True)
+                  - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
+    d_x = (d_x + d_x_res.astype(jnp.float32)).astype(x.dtype)
+
+    return d_x, d_lns, d_lnb, d_wqkv, d_bqkv, d_wproj, d_bproj
 
 
 fused_prenorm_mhsa.defvjp(_vjp_fwd, _vjp_bwd)
