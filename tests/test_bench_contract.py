@@ -2,6 +2,7 @@
 keys, and __graft_entry__ must expose entry() and dryrun_multichip()."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -11,6 +12,26 @@ def test_graft_entry_surface():
 
     assert callable(ge.entry)
     assert callable(ge.dryrun_multichip)
+
+
+def test_dryrun_multichip_driver_contract():
+    """Run the dryrun EXACTLY like the driver: a fresh process whose env does
+    NOT pre-force virtual CPU devices (round 1 shipped a regression precisely
+    because no test did this — MULTICHIP_r01.json ok=false)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # restore sitecustomize default (axon,cpu)
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8):" in proc.stdout and "OK" in proc.stdout, (
+        proc.stdout, proc.stderr[-2000:])
 
 
 def test_bench_output_is_one_json_line():
