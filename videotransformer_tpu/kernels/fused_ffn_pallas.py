@@ -8,7 +8,13 @@ residual add stays outside (DropPath applies to the branch first).
 Block over rows: each program handles a (ROWS, D) slice of the flattened
 (B*N, D) token matrix, so one kernel serves every sequence length.
 
-Backward: custom VJP through a pure-jnp twin.
+Backward: a second Pallas kernel with the same row blocking. Each program
+recomputes xn / h_pre / h for its rows in VMEM (flash-style recompute — the
+4D hidden never hits HBM in backward either), emits its dx rows, and
+accumulates the weight/bias/LN gradients into fp32 output blocks that stay
+VMEM-resident across the sequential row grid (their index_map ignores the
+row index). Padded rows in the final block are zero-masked on load so they
+contribute exactly 0 to every accumulator.
 """
 
 import functools
@@ -65,6 +71,22 @@ def _reference_jnp(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     return out.astype(x.dtype)
 
 
+def _vmem_params(rows, D, hidden, d_out, itemsize, bwd=False):
+    """Raise the scoped-VMEM cap only when the kernel genuinely needs more
+    than the 16MB default (fp32 weights / backward accumulators); staying at
+    the default preserves Mosaic's pipelining headroom for the bf16 case."""
+    weights = (D * hidden + hidden * d_out) * itemsize
+    acts = 2 * rows * (D + d_out) * itemsize + 3 * rows * hidden * 4
+    need = weights + acts
+    if bwd:
+        need += (D * hidden + hidden * d_out) * 4  # fp32 grad accumulators
+        need += 2 * rows * hidden * 4 + rows * D * 4
+    need = int(need * 1.4)  # headroom for Mosaic temporaries
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 * 1024 * 1024))
+
+
 def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     M, D = x2d.shape
     hidden = w1.shape[1]
@@ -85,6 +107,7 @@ def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
             pl.BlockSpec((d_out,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((ROWS, d_out), lambda i: (i, 0)),
+        compiler_params=_vmem_params(ROWS, D, hidden, d_out, x2d.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * hidden * (D + d_out),
             bytes_accessed=(M * (D + d_out) + (D + d_out) * hidden) * x2d.dtype.itemsize,
@@ -103,6 +126,135 @@ def fused_prenorm_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps=1e-5):
     return out.reshape(shape[:-1] + (w2.shape[1],))
 
 
+def _gelu_grad(h_pre):
+    """d/dx of exact erf-GELU, fp32 (matches torch nn.GELU backward)."""
+    cdf = 0.5 * (1.0 + _erf(h_pre * np.float32(1 / np.sqrt(2))))
+    pdf = jnp.exp(-0.5 * h_pre * h_pre) * np.float32(1 / np.sqrt(2 * np.pi))
+    return cdf + h_pre * pdf
+
+
+def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                db2_ref, *, ln_eps, rows_total):
+    i = pl.program_id(0)
+    rows = x_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) + i * rows
+    mask = row < rows_total
+
+    # where (not multiply): block padding may read back as NaN
+    xf = jnp.where(mask, x_ref[:].astype(jnp.float32), 0.0)  # (ROWS, D)
+    gf = jnp.where(mask, g_ref[:].astype(jnp.float32), 0.0)  # (ROWS, d_out)
+    lns = lns_ref[:].astype(jnp.float32)
+
+    # recompute forward in VMEM
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mean) * rstd
+    xn = xhat * lns + lnb_ref[:].astype(jnp.float32)
+    xn_c = xn.astype(x_ref.dtype)
+    h_pre = (jnp.dot(xn_c, w1_ref[:], preferred_element_type=jnp.float32)
+             + b1_ref[:].astype(jnp.float32))  # (ROWS, hidden) fp32
+    h = 0.5 * h_pre * (1.0 + _erf(h_pre * np.float32(1 / np.sqrt(2))))
+    h_c = h.astype(x_ref.dtype)
+
+    # fc2 backward
+    dh = jax.lax.dot_general(  # g @ w2^T : (ROWS, hidden)
+        gf.astype(x_ref.dtype), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw2_blk = jax.lax.dot_general(  # h^T g : (hidden, d_out)
+        h_c, gf.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_blk = gf.sum(axis=0, keepdims=True)
+
+    # GELU + fc1 backward
+    dh_pre = dh * _gelu_grad(h_pre)
+    dh_pre_c = dh_pre.astype(x_ref.dtype)
+    dw1_blk = jax.lax.dot_general(  # xn^T dh_pre : (D, hidden)
+        xn_c, dh_pre_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_blk = dh_pre.sum(axis=0, keepdims=True)
+    dxn = jax.lax.dot_general(  # dh_pre @ w1^T : (ROWS, D)
+        dh_pre_c, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # LayerNorm backward
+    dlns_blk = (dxn * xhat).sum(axis=0, keepdims=True)
+    dlnb_blk = dxn.sum(axis=0, keepdims=True)
+    dxhat = dxn * lns
+    dx = rstd * (dxhat
+                 - dxhat.mean(axis=-1, keepdims=True)
+                 - xhat * (dxhat * xhat).mean(axis=-1, keepdims=True))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[:] = dlns_blk
+        dlnb_ref[:] = dlnb_blk
+        dw1_ref[:] = dw1_blk
+        db1_ref[:] = db1_blk
+        dw2_ref[:] = dw2_blk
+        db2_ref[:] = db2_blk
+
+    @pl.when(i > 0)
+    def _acc():
+        dlns_ref[:] += dlns_blk
+        dlnb_ref[:] += dlnb_blk
+        dw1_ref[:] += dw1_blk
+        db1_ref[:] += db1_blk
+        dw2_ref[:] += dw2_blk
+        db2_ref[:] += db2_blk
+
+
+def _bwd(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, ln_eps):
+    M, D = x2d.shape
+    hidden = w1.shape[1]
+    d_out = w2.shape[1]
+    ROWS = 256
+    grid = (pl.cdiv(M, ROWS),)
+    acc = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0))
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, ln_eps=ln_eps, rows_total=M),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), x2d.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, d_out), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_out), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
+            pl.BlockSpec((ROWS, d_out), lambda i: (i, 0)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden, d_out), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
+            acc(D), acc(D),
+            pl.BlockSpec((D, hidden), lambda i: (0, 0)),
+            acc(hidden),
+            pl.BlockSpec((hidden, d_out), lambda i: (0, 0)),
+            acc(d_out),
+        ),
+        compiler_params=(
+            _vmem_params(ROWS, D, hidden, d_out, x2d.dtype.itemsize, bwd=True)
+            or pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * M * hidden * (D + d_out),
+            bytes_accessed=(2 * M * (D + d_out)
+                            + 2 * (D + d_out) * hidden) * x2d.dtype.itemsize,
+            transcendentals=2 * M * hidden,
+        ),
+    )(x2d, g2d, ln_scale, ln_bias, w1, b1, w2)
+    return dx, dlns[0], dlnb[0], dw1, db1[0], dw2, db2[0]
+
+
 def _vjp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
     return (fused_prenorm_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps),
             (x, ln_scale, ln_bias, w1, b1, w2, b2))
@@ -111,14 +263,13 @@ def _vjp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
 def _vjp_bwd(ln_eps, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     shape = x.shape
-
-    def f(x2d, lns, lnb, w1_, b1_, w2_, b2_):
-        return _reference_jnp(x2d, lns, lnb, w1_, b1_, w2_, b2_, ln_eps)
-
-    _, vjp = jax.vjp(f, x.reshape(-1, shape[-1]), ln_scale, ln_bias,
-                     w1, b1, w2, b2)
-    gx, glns, glnb, gw1, gb1, gw2, gb2 = vjp(g.reshape(-1, shape[-1]))
-    return gx.reshape(shape), glns, glnb, gw1, gb1, gw2, gb2
+    dx, dlns, dlnb, dw1, db1, dw2, db2 = _bwd(
+        x.reshape(-1, shape[-1]), g.reshape(-1, g.shape[-1]),
+        ln_scale, ln_bias, w1, b1, w2, ln_eps)
+    return (dx.reshape(shape),
+            dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 fused_prenorm_ffn.defvjp(_vjp_fwd, _vjp_bwd)

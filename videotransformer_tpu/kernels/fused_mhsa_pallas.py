@@ -17,8 +17,15 @@ resident across programs.
 Used by the divided SPATIAL attention (N = 197) and joint attention; the tiny
 temporal attention stays on the VPU broadcast path (ops/blocks._sdpa_small_n).
 
-Backward: custom VJP recomputing through the pure-jnp reference implementation
-(flash-style recompute; O(N·D) residuals only).
+Backward: split custom VJP with O(N·D) residuals. The forward kernel saves
+``qkv`` and the pre-projection ``attn_out`` alongside the output; backward is
+then three cheap pieces, none of which materializes an (N, N) matrix in HBM:
+
+  1. projection grads as plain XLA matmuls on the saved ``attn_out``;
+  2. dq/dk/dv through the Pallas flash-attention backward kernel
+     (flash_attention_pallas._flash_bwd — p/ds live only in VMEM);
+  3. hand-written LN + qkv-matmul backward (recomputes only the elementwise
+     LN statistics).
 """
 
 import functools
@@ -63,6 +70,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
         outs.append(o.astype(x.dtype))
     attn_out = jnp.concatenate(outs, axis=-1)  # (N, D)
+    if with_qkv:
+        rest[1][0] = attn_out  # saved for the projection backward
 
     out = (
         jnp.dot(attn_out, wproj_ref[:], preferred_element_type=jnp.float32)
@@ -110,7 +119,9 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
     out_shape = jax.ShapeDtypeStruct((B, N, D), x.dtype)
     if with_qkv:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype),
+                     jax.ShapeDtypeStruct((B, N, D), x.dtype))
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, add_residual=add_residual,
@@ -128,7 +139,8 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
         ],
         out_specs=(
             (pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
-             pl.BlockSpec((1, N, 3 * D), lambda i: (i, 0, 0)))
+             pl.BlockSpec((1, N, 3 * D), lambda i: (i, 0, 0)),
+             pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)))
             if with_qkv else pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))),
         # v5e has ~128MB VMEM; the default ~16MB scoped limit blocks long
         # sequences (joint space-time N=1569 needs ~24MB). Only raise it
@@ -154,47 +166,42 @@ def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 num_heads, scale, ln_eps, add_residual)
 
 
-def _attn_tail(qkv, wproj, bproj, x_res, num_heads, scale, add_residual):
-    """Differentiable attention+projection tail operating on saved qkv."""
-    B, N, D3 = qkv.shape
-    D = D3 // 3
-    hd = D // num_heads
-    qkv_r = qkv.reshape(B, N, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(qkv.dtype), v,
-                   preferred_element_type=jnp.float32).astype(qkv.dtype)
-    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
-    out = (jnp.einsum("bnd,de->bne", o, wproj,
-                      preferred_element_type=jnp.float32)
-           + bproj.astype(jnp.float32))
-    if add_residual:
-        out = out + x_res.astype(jnp.float32)
-    return out.astype(qkv.dtype)
-
-
 def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
              num_heads, scale, ln_eps, add_residual):
-    out, qkv = _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                    num_heads, scale, ln_eps, add_residual, with_qkv=True)
-    return out, (x, qkv, ln_scale, ln_bias, wqkv, wproj, bproj)
+    out, qkv, attn_out = _fwd(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+        num_heads, scale, ln_eps, add_residual, with_qkv=True)
+    return out, (x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj)
 
 
 def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
-    """Split backward: the saved qkv skips recomputing the LN + qkv matmul
-    forward (2/3 of the block's FLOPs); the LN/qkv backward is hand-written."""
-    x, qkv, ln_scale, ln_bias, wqkv, wproj, bproj = res
+    """Split backward on the saved qkv / attn_out: projection grads are plain
+    matmuls, dq/dk/dv run through the Pallas flash backward (no N×N matrix in
+    HBM), and the LN + qkv-matmul backward is hand-written (recomputes only
+    the elementwise LN)."""
+    from videotransformer_tpu.kernels.flash_attention_pallas import _flash_bwd
 
-    # tail (attention + proj [+ residual]) backward via autodiff on saved qkv
-    _, tail_vjp = jax.vjp(
-        lambda qkv_, wproj_, bproj_, xres_: _attn_tail(
-            qkv_, wproj_, bproj_, xres_, num_heads, scale, add_residual),
-        qkv, wproj, bproj, x)
-    d_qkv, d_wproj, d_bproj, d_x_res = tail_vjp(g)
-    if not add_residual:
-        d_x_res = jnp.zeros_like(d_x_res)
+    x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj = res
+    B, N, D = x.shape
+    hd = D // num_heads
+    gf = g.astype(jnp.float32)
+
+    # projection backward (out = attn_out @ wproj + bproj [+ x])
+    d_bproj = gf.sum((0, 1)).astype(wproj.dtype)
+    d_wproj = jnp.einsum("bnd,bne->de", attn_out.astype(jnp.float32), gf
+                         ).astype(wproj.dtype)
+    do = jnp.einsum("bne,de->bnd", gf, wproj.astype(jnp.float32)
+                    ).astype(x.dtype)
+    d_x_res = g if add_residual else None
+
+    # attention backward through the Pallas flash kernel
+    heads = lambda t: t.reshape(B, N, num_heads, hd).transpose(0, 2, 1, 3)
+    q = heads(qkv[..., :D])
+    k = heads(qkv[..., D:2 * D])
+    v = heads(qkv[..., 2 * D:])
+    dq, dk, dv = _flash_bwd(q, k, v, heads(do), scale)
+    unheads = lambda t: t.transpose(0, 2, 1, 3).reshape(B, N, D)
+    d_qkv = jnp.concatenate([unheads(dq), unheads(dk), unheads(dv)], axis=-1)
 
     # recompute LN only (cheap, elementwise)
     xf = x.astype(jnp.float32)
@@ -220,7 +227,9 @@ def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
     d_x = rstd * (d_xhat
                   - d_xhat.mean(-1, keepdims=True)
                   - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
-    d_x = (d_x + d_x_res.astype(jnp.float32)).astype(x.dtype)
+    if d_x_res is not None:
+        d_x = d_x + d_x_res.astype(jnp.float32)
+    d_x = d_x.astype(x.dtype)
 
     return d_x, d_lns, d_lnb, d_wqkv, d_bqkv, d_wproj, d_bproj
 

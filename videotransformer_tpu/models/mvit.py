@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from videotransformer_tpu import config as vt_config
 from videotransformer_tpu.ops import initializers as init
 from videotransformer_tpu.ops.blocks import DropPath
 
@@ -156,12 +157,22 @@ class MultiScaleAttention(nn.Module):
         k, _ = self._pool("k", k, thw, pool_k, "norm_k")
         v, _ = self._pool("v", v, thw, pool_v, "norm_v")
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        if not self.is_initializing() and vt_config.use_pallas_attention():
+            # Pallas flash kernel handles Nq != Nkv (pooled K/V); the q-blocked
+            # backward never materializes the (Nq, Nkv) matrix in HBM — the
+            # same fusion win the TimeSformer path gets from fused_mhsa.
+            from videotransformer_tpu.kernels.flash_attention_pallas import (
+                flash_attention)
+
+            out = flash_attention(q, k, v, scale)
+        else:
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q * scale, k,
+                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
 
         Nq = out.shape[2]
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
