@@ -109,37 +109,3 @@ def test_fused_ffn_matches_reference(shape):
                                    rtol=5e-4, atol=5e-5)
 
 
-@pytest.mark.parametrize("has_tfc", [True, False])
-def test_fused_temporal_matches_reference(has_tfc):
-    from jax.experimental.pallas import tpu as pltpu
-
-    from videotransformer_tpu.kernels.fused_temporal_pallas import (
-        _reference_jnp, fused_temporal_attention)
-
-    rng = np.random.RandomState(2)
-    B, T, D, H = 5, 8, 64, 4
-    args = (
-        jnp.asarray(rng.randn(B, T, D) * 0.1, jnp.float32),
-        jnp.asarray(rng.randn(D) * 0.1 + 1, jnp.float32),
-        jnp.asarray(rng.randn(D) * 0.1, jnp.float32),
-        jnp.asarray(rng.randn(D, 3 * D) * 0.05, jnp.float32),
-        jnp.asarray(rng.randn(3 * D) * 0.05, jnp.float32),
-        jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32),
-        jnp.asarray(rng.randn(D) * 0.05, jnp.float32),
-        jnp.asarray(rng.randn(D, D) * 0.05, jnp.float32),
-        jnp.asarray(rng.randn(D) * 0.05, jnp.float32),
-    )
-    scale = (D // H) ** -0.5
-    ref = _reference_jnp(*args, num_heads=H, scale=scale, ln_eps=1e-5,
-                         has_tfc=has_tfc)
-    with pltpu.force_tpu_interpret_mode():
-        out = fused_temporal_attention(*args, H, scale, 1e-5, has_tfc)
-        g = jax.grad(lambda *a: (fused_temporal_attention(
-            *a, H, scale, 1e-5, has_tfc) ** 2).sum())(*args)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-5)
-    g_ref = jax.grad(lambda x: (_reference_jnp(
-        x, *args[1:], num_heads=H, scale=scale, ln_eps=1e-5,
-        has_tfc=has_tfc) ** 2).sum())(args[0])
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
-                               rtol=5e-4, atol=5e-5)

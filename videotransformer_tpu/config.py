@@ -21,20 +21,6 @@ def get_attention_backend() -> str:
     return _ATTENTION_BACKEND
 
 
-_FUSED_TEMPORAL = False
-
-
-def set_fused_temporal(enabled: bool) -> None:
-    """Opt-in switch for the fused temporal-attention kernel (currently slower
-    than the jnp VPU path on v5e; see ops/blocks.DividedTemporalAttention)."""
-    global _FUSED_TEMPORAL
-    _FUSED_TEMPORAL = bool(enabled)
-
-
-def fused_temporal_enabled() -> bool:
-    return _FUSED_TEMPORAL
-
-
 def use_pallas_attention() -> bool:
     """Resolve the backend: pallas only on real TPU backends (not CPU/interpret)."""
     if _ATTENTION_BACKEND == "pallas":

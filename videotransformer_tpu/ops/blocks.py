@@ -224,23 +224,6 @@ class DividedTemporalAttention(nn.Module):
                 self.embed_dims, dtype=self.dtype,
                 kernel_init=init.zeros_init, bias_init=init.zeros_init)
 
-    def _fused_eligible(self, deterministic, return_attention):
-        # the fused temporal kernel (kernels/fused_temporal_pallas.py) is
-        # currently DISABLED by default: Mosaic keeps the unrolled per-head
-        # broadcast intermediates alive and the required small group size
-        # makes it slower than the jnp VPU path (bench: 269 -> 190 clips/s).
-        # The jnp path already fuses well (see _sdpa_small_n).
-        if not vt_config.fused_temporal_enabled():
-            return False
-        return (
-            not return_attention
-            and not self.is_initializing()
-            and self.attn_drop == 0.0
-            and self.proj_drop == 0.0
-            and (deterministic or self.drop_path_rate == 0.0)
-            and vt_config.use_pallas_attention()
-        )
-
     def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
         cls_token = query[:, :1, :]  # (b, 1, d)
         query = query[:, 1:, :]
@@ -258,38 +241,20 @@ class DividedTemporalAttention(nn.Module):
             cls_rep = cls_rep.reshape(b * p, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
 
-        if self._fused_eligible(deterministic, return_attention):
-            from videotransformer_tpu.kernels.fused_temporal_pallas import (
-                fused_temporal_attention)
-
-            np_ = self.norm.variables["params"]
-            ap = self.attn.variables["params"]
-            if self.use_cls_token:
-                wtfc = ap["proj"]["kernel"]  # unused dummy (has_tfc=False)
-                btfc = ap["proj"]["bias"]
-            else:
-                tp = self.temporal_fc.variables["params"]
-                wtfc, btfc = tp["kernel"], tp["bias"]
-            head_dim = self.embed_dims // self.num_heads
-            attn_out = fused_temporal_attention(
-                x.astype(self.dtype),
-                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
-                ap["qkv"]["kernel"].astype(self.dtype),
-                ap["qkv"]["bias"].astype(self.dtype),
-                ap["proj"]["kernel"].astype(self.dtype),
-                ap["proj"]["bias"].astype(self.dtype),
-                wtfc.astype(self.dtype), btfc.astype(self.dtype),
-                self.num_heads, head_dim**-0.5, 1e-5, not self.use_cls_token)
-        else:
-            xn = self.norm(x)
-            attn_out, attn_w = self.attn(
-                xn, deterministic=deterministic, need_weights=return_attention)
-            if return_attention:
-                return attn_w
-            attn_out = self.post_drop(attn_out, deterministic=deterministic)
-            attn_out = self.layer_drop(attn_out, deterministic=deterministic)
-            if not self.use_cls_token:
-                attn_out = self.temporal_fc(attn_out)
+        # NB: a fused Pallas prenorm kernel for this tiny-N attention was
+        # built and benchmarked in round 1 and LOST to the jnp VPU path
+        # (269 -> 190 clips/s: Mosaic keeps the unrolled per-head broadcast
+        # intermediates alive), so the temporal half deliberately stays on
+        # XLA (see _sdpa_small_n).
+        xn = self.norm(x)
+        attn_out, attn_w = self.attn(
+            xn, deterministic=deterministic, need_weights=return_attention)
+        if return_attention:
+            return attn_w
+        attn_out = self.post_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
+        if not self.use_cls_token:
+            attn_out = self.temporal_fc(attn_out)
 
         if self.use_cls_token:
             new_cls = attn_out[:, 0, :].reshape(b, p, d).mean(axis=1, keepdims=True)
