@@ -13,6 +13,7 @@ globally-consistent batch.
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -54,7 +55,8 @@ class Loader:
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
                  num_workers=2, collate_fn=collate_supervised, seed=0,
-                 process_index=0, num_processes=1, prefetch=2):
+                 process_index=0, num_processes=1, prefetch=2,
+                 worker_timeout=300.0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -66,6 +68,10 @@ class Loader:
         self.process_index = process_index
         self.num_processes = num_processes
         self.prefetch = prefetch
+        # max seconds to wait for ONE batch with no worker progress before
+        # raising (torch DataLoader's error-propagation analogue; the
+        # reference would hang the same way we used to — data_trainer.py:123)
+        self.worker_timeout = worker_timeout
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -104,6 +110,7 @@ class Loader:
         out: dict = {}
         out_lock = threading.Condition()
         stop = threading.Event()
+        errors: list = []  # exceptions raised inside workers
 
         def worker():
             while not stop.is_set():
@@ -114,7 +121,13 @@ class Loader:
                 if item is None:
                     return
                 bi, si, ds_index = item
-                sample = self.dataset[ds_index]
+                try:
+                    sample = self.dataset[ds_index]
+                except BaseException as exc:  # propagate to the consumer
+                    with out_lock:
+                        errors.append((ds_index, exc))
+                        out_lock.notify_all()
+                    return
                 with out_lock:
                     out.setdefault(bi, {})[si] = sample
                     out_lock.notify_all()
@@ -140,8 +153,26 @@ class Loader:
         try:
             for bi, batch in feeder_batches:
                 with out_lock:
+                    deadline = time.monotonic() + self.worker_timeout
                     while bi not in out or len(out[bi]) < len(batch):
-                        out_lock.wait(timeout=60.0)
+                        if errors:
+                            ds_index, exc = errors[0]
+                            raise RuntimeError(
+                                f"loader worker failed on dataset index "
+                                f"{ds_index}") from exc
+                        if not any(t.is_alive() for t in threads):
+                            raise RuntimeError(
+                                "all loader workers exited before batch "
+                                f"{bi} was complete")
+                        got = len(out.get(bi, {}))
+                        out_lock.wait(timeout=5.0)
+                        if len(out.get(bi, {})) > got:
+                            deadline = time.monotonic() + self.worker_timeout
+                        elif time.monotonic() > deadline:
+                            raise TimeoutError(
+                                f"loader made no progress on batch {bi} for "
+                                f"{self.worker_timeout:.0f}s "
+                                f"({got}/{len(batch)} samples ready)")
                     ready = out.pop(bi)
                     samples = [ready[i] for i in range(len(batch))]
                 yield self.collate_fn(samples)
