@@ -88,6 +88,12 @@ def parse_args(argv=None):
     # TPU-native extension (not in the reference): decode fixed-size uint8
     # clips and run all train augmentation on device inside the jitted step
     parser.add_argument("-device_augment", type=bool, default=False)
+    parser.add_argument("-classmap_path", type=str, default=None,
+                        help="custom classmap json (defaults to bundled "
+                             "k400/k600 maps by num_class)")
+    parser.add_argument("-video_root", type=str, default=None,
+                        help="root dir for relative annotation rows "
+                             "(default: the annotation file's directory)")
     parser.add_argument("-remat", type=bool, default=False,
                         help="activation rematerialization (jax.checkpoint) "
                              "per transformer block: less HBM, ~30%% more step time")

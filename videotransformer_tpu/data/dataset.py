@@ -97,7 +97,11 @@ class Kinetics:
         self.data = load_annotations(
             annotation_path, configs.num_class, configs.num_samples_per_cls,
             getattr(configs, "classmap_path", None))
-        self.video_root = getattr(configs, "video_root", "")
+        # relative annotation rows resolve against video_root when given,
+        # else against the annotation file's own directory (lets bundled
+        # asset lists ship with portable relative paths)
+        self.video_root = (getattr(configs, "video_root", None)
+                           or os.path.dirname(os.path.abspath(annotation_path)))
         self.transform = transform
         self.temporal_sample = temporal_sample
         self.target_video_len = configs.num_frames

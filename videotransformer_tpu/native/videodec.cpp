@@ -37,6 +37,10 @@ struct VideoDec {
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
   AVFrame* frame = nullptr;
+  AVFrame* last = nullptr;  // ref to the most recent decoded frame: survives
+                            // the EOF receive (which unrefs `frame`), so the
+                            // reuse-last-frame path always has valid planes
+  int64_t last_idx = -1;    // frame index held by `last` (-1: none yet)
   AVPacket* pkt = nullptr;
   int stream_idx = -1;
   int64_t num_frames = 0;
@@ -73,6 +77,7 @@ int64_t count_frames_by_scan(VideoDec* v) {
   av_seek_frame(v->fmt, v->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
   avcodec_flush_buffers(v->codec);
   v->next_frame = 0;
+  v->last_idx = -1;
   v->at_eof = false;
   return count;
 }
@@ -82,7 +87,11 @@ int64_t count_frames_by_scan(VideoDec* v) {
 int decode_next(VideoDec* v) {
   while (true) {
     int ret = avcodec_receive_frame(v->codec, v->frame);
-    if (ret == 0) return 1;
+    if (ret == 0) {
+      av_frame_unref(v->last);
+      av_frame_ref(v->last, v->frame);
+      return 1;
+    }
     if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF) return ret;
     if (ret == AVERROR_EOF) return 0;
     // need more packets
@@ -123,7 +132,8 @@ int seek_to(VideoDec* v, int64_t target) {
   int64_t landed =
       (int64_t)((pts - start) * av_q2d(tb) * fps + 0.5);
   v->next_frame = landed + 1;
-  return 0;  // current frame in v->frame is index `landed`
+  v->last_idx = landed;
+  return 0;  // current frame in v->last is index `landed`
 }
 
 }  // namespace
@@ -165,6 +175,7 @@ void* vd_open(const char* path, int num_threads, int target_short_edge) {
     return nullptr;
   }
   v->frame = av_frame_alloc();
+  v->last = av_frame_alloc();
   v->pkt = av_packet_alloc();
   v->fps = stream_fps(st);
   v->width = v->codec->width;
@@ -225,19 +236,18 @@ int vd_get_batch(void* h, const int64_t* indices, int n, uint8_t* out) {
     }
   }
 
-  bool frame_valid = false;  // v->frame holds frame (v->next_frame - 1)
   for (int i = 0; i < n; i++) {
     int64_t target = indices[i];
     if (target < 0) target = 0;
     if (target >= v->num_frames) target = v->num_frames - 1;
 
-    bool have_frame = frame_valid && target == v->next_frame - 1;
+    bool have_frame = v->last_idx == target;
     if (!have_frame && (target < v->next_frame || target > v->next_frame + 256)) {
       if (seek_to(v, target) < 0) {
         set_err(v, "seek failed");
         return -2;
       }
-      frame_valid = true;  // seek_to decoded frame (next_frame - 1)
+      // seek_to decoded frame (next_frame - 1) into `last`
       if (v->next_frame - 1 == target) {
         have_frame = true;
       } else if (v->next_frame - 1 > target) {
@@ -245,7 +255,6 @@ int vd_get_batch(void* h, const int64_t* indices, int n, uint8_t* out) {
         av_seek_frame(v->fmt, v->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
         avcodec_flush_buffers(v->codec);
         v->next_frame = 0;
-        frame_valid = false;
       }
     }
     while (!have_frame) {
@@ -257,17 +266,17 @@ int vd_get_batch(void* h, const int64_t* indices, int n, uint8_t* out) {
       if (ret == 0) break;  // EOF: reuse last decoded frame
       int64_t cur = v->next_frame;
       v->next_frame = cur + 1;
-      frame_valid = true;
+      v->last_idx = cur;
       if (cur >= target) have_frame = true;
     }
-    if (!frame_valid) {
+    if (v->last_idx < 0) {
       set_err(v, "no frame decoded");
       return -4;
     }
 
     uint8_t* dst[1] = {out + (int64_t)i * H * W * 3};
     int dst_stride[1] = {W * 3};
-    sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height, dst,
+    sws_scale(v->sws, v->last->data, v->last->linesize, 0, v->height, dst,
               dst_stride);
   }
   return 0;
@@ -277,6 +286,7 @@ void vd_close(void* h) {
   VideoDec* v = (VideoDec*)h;
   if (v->sws) sws_freeContext(v->sws);
   if (v->frame) av_frame_free(&v->frame);
+  if (v->last) av_frame_free(&v->last);
   if (v->pkt) av_packet_free(&v->pkt);
   if (v->codec) avcodec_free_context(&v->codec);
   if (v->fmt) avformat_close_input(&v->fmt);
