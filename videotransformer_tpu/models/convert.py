@@ -424,3 +424,87 @@ def init_from_kinetics_pretrain(params, pretrain_path, attention_type="divided_s
     if verbose:
         print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
     return merged
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: flax param tree -> torch state dict (checkpoint export)
+# ---------------------------------------------------------------------------
+
+def _unconvert_leaf(leaf: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
+    """Inverse of _convert_leaf: flax (name, array) -> torch (name, tensor)."""
+    if leaf == "kernel":
+        if value.ndim == 2:  # Linear (in,out) -> (out,in)
+            return "weight", value.T
+        if value.ndim == 4:  # Conv2d (kh,kw,i,o) -> (o,i,kh,kw)
+            return "weight", value.transpose(3, 2, 0, 1)
+        if value.ndim == 5:  # Conv3d (kt,kh,kw,i,o) -> (o,i,kt,kh,kw)
+            return "weight", value.transpose(4, 3, 0, 1, 2)
+        raise ValueError(f"Unhandled kernel ndim {value.ndim}")
+    if leaf == "scale":  # LayerNorm
+        return "weight", value
+    return leaf, value
+
+
+def flax_to_torch_state_dict(
+    params: Dict[str, Any], attention_type: str = "divided_space_time",
+) -> Dict[str, np.ndarray]:
+    """Inverse of torch_to_flax_params: export a flax model param tree as a
+    reference-named torch state dict (numpy arrays — ``save_torch_checkpoint``
+    writes a .pth the reference's ``load_state_dict`` accepts directly).
+
+    This is the missing half of the reference's checkpoint ecosystem
+    (weight_init.py only loads): it lets checkpoints trained here be
+    cross-validated in the original PyTorch implementation.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def container_name(name: str) -> str:
+        if attention_type == "fact_encoder":
+            if name == "spatial_transformer":
+                return "transformer_layers.0"
+            if name == "temporal_transformer":
+                return "transformer_layers.1"
+        return name
+
+    def rec(node: Dict[str, Any], prefix: str, in_ffn: bool, n_ffn_layers: int):
+        for name, child in node.items():
+            if isinstance(child, dict):
+                tname = container_name(name)
+                m = re.fullmatch(r"(layers|attentions|ffns|blocks)_(\d+)", tname)
+                if m:
+                    kind, idx = m.group(1), int(m.group(2))
+                    tname = f"{kind}.{idx}"
+                    if in_ffn and kind == "layers":
+                        # reference FFN: Sequential(Linear,GELU,Drop) for all
+                        # but the last layer, bare Linear last
+                        # (transformer.py:496-507)
+                        if idx < n_ffn_layers - 1:
+                            tname = f"layers.{idx}.0"
+                    child_is_ffn = kind == "ffns"
+                else:
+                    child_is_ffn = False
+                n_layers = sum(
+                    1 for k in child if re.fullmatch(r"layers_\d+", k))
+                rec(child, f"{prefix}{tname}.", child_is_ffn, n_layers)
+            else:
+                tname, arr = _unconvert_leaf(name, np.asarray(child))
+                out[f"{prefix}{tname}"] = arr.astype(np.float32)
+
+    rec(params, "", False, 0)
+    return out
+
+
+def save_torch_checkpoint(params: Dict[str, Any], path: str,
+                          attention_type: str = "divided_space_time",
+                          cls_head: Dict[str, Any] = None) -> None:
+    """Write a reference-loadable .pth: model params (and optionally the cls
+    head) under the lightning-style ``model.`` / ``cls_head.`` prefixes that
+    reference replace_state_dict strips (weight_init.py:17-28)."""
+    import torch
+
+    sd = {f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flax_to_torch_state_dict(params, attention_type).items()}
+    if cls_head is not None:
+        for k, v in flax_to_torch_state_dict(cls_head).items():
+            sd[f"cls_head.{k}"] = torch.from_numpy(np.ascontiguousarray(v))
+    torch.save({"state_dict": sd}, path)
