@@ -151,5 +151,11 @@ class MaskFeat(nn.Module):
         loss = (loss * mask16).sum() / (mask16.sum() + 1e-5)
 
         if visualize:
-            return preds, loss, mask16
+            # HOG-prediction maps (reference video_transformer.py:904-907):
+            # unfold each 14x14 token cell into its 2x2 spatial sub-cells and
+            # 3-channel x 9-orientation histogram -> (B, T16, 28, 28, 3, 9)
+            hp = preds.reshape(b, T16, h_out, w_out, 2, 2, 3, 9)
+            hog_preds = hp.transpose(0, 1, 2, 4, 3, 5, 6, 7).reshape(
+                b, T16, h_out * 2, w_out * 2, 3, 9)
+            return preds, loss, mask16, hog_preds
         return preds, loss

@@ -56,9 +56,11 @@ def upsample_nearest(x, factor):
     return np.repeat(np.repeat(x, factor, axis=-2), factor, axis=-1)
 
 
-def overlay_colors(frame_rgb, attn_maps, th_masks, heads=(0, 1, 2, 3, 4, 5)):
+def overlay_colors(frame_rgb, attn_maps, th_masks, heads=None):
     """Colored compositing (reference show_attn_color, :104-177):
     dim grayscale base + per-head colored masks, strongest head wins."""
+    if heads is None:
+        heads = tuple(range(min(6, attn_maps.shape[0])))
     img = frame_rgb.astype(np.float32)
     m, M = img.min(), img.max()
     span = 64
@@ -90,12 +92,15 @@ def colormap(x):
 
 
 def run(args):
-    num_frames, frame_interval = 8, 32
+    num_frames = getattr(args, "num_frames", 8)
+    frame_interval = getattr(args, "frame_interval", 32)
     mean, std = (0.45, 0.45, 0.45), (0.225, 0.225, 0.225)
 
     model = TimeSformer(
         num_frames=num_frames, img_size=args.image_size, patch_size=args.patch_size,
-        embed_dims=768, num_heads=12, num_transformer_layers=12,
+        embed_dims=getattr(args, "embed_dims", 768),
+        num_heads=getattr(args, "num_heads", 12),
+        num_transformer_layers=getattr(args, "num_layers", 12),
         attention_type="divided_space_time")
 
     reader = DecordInit()(args.video)
@@ -145,17 +150,19 @@ def run(args):
         heads_grid = np.concatenate(
             [colormap(maps_up[j]) for j in range(nh)], axis=1)
 
-        import cv2
+        from PIL import Image
 
         h = frame_rgb.shape[0]
         row = np.concatenate([frame_rgb, color], axis=1)
         scale = h / heads_grid.shape[0]
-        heads_small = cv2.resize(
-            heads_grid, (int(heads_grid.shape[1] * scale), h),
-            interpolation=cv2.INTER_NEAREST)
-        final = np.concatenate([row, heads_small], axis=1)
+        heads_img = Image.fromarray(
+            np.clip(heads_grid, 0, 255).astype(np.uint8)).resize(
+            (int(heads_grid.shape[1] * scale), h), Image.NEAREST)
+        final = np.concatenate(
+            [np.clip(row, 0, 255).astype(np.uint8), np.asarray(heads_img)],
+            axis=1)
         out_path = os.path.join(args.output_dir, f"attn_img{i}.png")
-        cv2.imwrite(out_path, final[..., ::-1])
+        Image.fromarray(final).save(out_path)
     print(f"saved {num_frames} visualizations to {args.output_dir}")
 
 
@@ -168,6 +175,11 @@ def main():
     parser.add_argument("--threshold", type=float, default=0.6)
     parser.add_argument("--patch_size", type=int, default=16)
     parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--num_frames", type=int, default=8)
+    parser.add_argument("--frame_interval", type=int, default=32)
+    parser.add_argument("--embed_dims", type=int, default=768)
+    parser.add_argument("--num_heads", type=int, default=12)
+    parser.add_argument("--num_layers", type=int, default=12)
     run(parser.parse_args())
 
 
