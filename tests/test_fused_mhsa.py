@@ -109,3 +109,54 @@ def test_fused_ffn_matches_reference(shape):
                                    rtol=5e-4, atol=5e-5)
 
 
+
+@pytest.mark.parametrize("N,block", [(64, 8), (72, 9)])
+def test_block_diag_matches_per_sequence(N, block):
+    """Packed block-diagonal attention == independent per-sequence attention
+    (the divided-temporal packing), forward and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videotransformer_tpu.kernels.fused_mhsa_pallas import (
+        _reference_jnp, fused_prenorm_mhsa)
+
+    D, H = 64, 4
+    rng = np.random.RandomState(7)
+    args = _args(B=2, N=N, D=D, seed=7)
+    scale = (D // H) ** -0.5
+
+    # reference: run each length-`block` sequence separately through the
+    # unmasked reference, then re-pack
+    x = args[0]
+    xs = x.reshape(2 * (N // block), block, D)
+    ref = _reference_jnp(xs, *args[1:], num_heads=H, scale=scale,
+                         ln_eps=1e-5, add_residual=False)
+    ref = ref.reshape(2, N, D)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_prenorm_mhsa(*args, H, scale, 1e-5, False, block)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_packed(*a):
+        return (fused_prenorm_mhsa(*a, H, scale, 1e-5, False, block) ** 2).sum()
+
+    def loss_ref(*a):
+        xs_ = a[0].reshape(2 * (N // block), block, D)
+        return (_reference_jnp(xs_, *a[1:], num_heads=H, scale=scale,
+                               ln_eps=1e-5, add_residual=False) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss_packed, argnums=tuple(range(7)))(*args)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_pack_group():
+    from videotransformer_tpu.ops.blocks import _pack_group
+
+    assert _pack_group(1568, 8) == 56   # 56*8=448 <= 512; 1568 = 2^5*7^2
+    assert _pack_group(1568, 9) == 56   # 504 <= 512
+    assert _pack_group(7, 8) == 7
+    assert _pack_group(13, 100) == 1    # nothing fits -> no packing

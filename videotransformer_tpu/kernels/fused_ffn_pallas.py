@@ -8,13 +8,14 @@ residual add stays outside (DropPath applies to the branch first).
 Block over rows: each program handles a (ROWS, D) slice of the flattened
 (B*N, D) token matrix, so one kernel serves every sequence length.
 
-Backward: a second Pallas kernel with the same row blocking. Each program
-recomputes xn / h_pre / h for its rows in VMEM (flash-style recompute — the
-4D hidden never hits HBM in backward either), emits its dx rows, and
-accumulates the weight/bias/LN gradients into fp32 output blocks that stay
-VMEM-resident across the sequential row grid (their index_map ignores the
-row index). Padded rows in the final block are zero-masked on load so they
-contribute exactly 0 to every accumulator.
+Backward: a second Pallas kernel with the same row blocking. The forward
+saves the pre-GELU hidden (h_pre), so backward recomputes only the
+elementwise pieces (LN stats, GELU) and runs exactly the four gradient
+matmuls — emitting its dx rows and accumulating the weight/bias/LN
+gradients into fp32 output blocks that stay VMEM-resident across the
+sequential row grid (their index_map ignores the row index). Padded rows in
+the final block are zero-masked on load so they contribute exactly 0 to
+every accumulator.
 """
 
 import functools
@@ -38,7 +39,7 @@ def _erf(x):
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-            *, ln_eps):
+            *rest, ln_eps, with_hpre=False):
     x = x_ref[:]  # (ROWS, D)
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
@@ -49,6 +50,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
 
     h = (jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
          + b1_ref[:].astype(jnp.float32))
+    if with_hpre:
+        rest[0][:] = h.astype(x.dtype)  # saved pre-GELU hidden for backward
     # exact erf-GELU via the in-kernel erf approximation
     h = (0.5 * h * (1.0 + _erf(h * np.float32(1 / np.sqrt(2))))).astype(x.dtype)
     out = (jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
@@ -87,15 +90,20 @@ def _vmem_params(rows, D, hidden, d_out, itemsize, bwd=False):
     return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 * 1024 * 1024))
 
 
-def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
+def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, with_hpre=False):
     M, D = x2d.shape
     hidden = w1.shape[1]
     d_out = w2.shape[1]  # may differ from D (MViT dim-expanding MLP)
     ROWS = 256
     grid = (pl.cdiv(M, ROWS),)
+    out_shape = jax.ShapeDtypeStruct((M, d_out), x2d.dtype)
+    out_specs = pl.BlockSpec((ROWS, d_out), lambda i: (i, 0))
+    if with_hpre:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((M, hidden), x2d.dtype))
+        out_specs = (out_specs, pl.BlockSpec((ROWS, hidden), lambda i: (i, 0)))
     return pl.pallas_call(
-        functools.partial(_kernel, ln_eps=ln_eps),
-        out_shape=jax.ShapeDtypeStruct((M, d_out), x2d.dtype),
+        functools.partial(_kernel, ln_eps=ln_eps, with_hpre=with_hpre),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
@@ -106,7 +114,7 @@ def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
             pl.BlockSpec((hidden, d_out), lambda i: (0, 0)),
             pl.BlockSpec((d_out,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((ROWS, d_out), lambda i: (i, 0)),
+        out_specs=out_specs,
         compiler_params=_vmem_params(ROWS, D, hidden, d_out, x2d.dtype.itemsize),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * hidden * (D + d_out),
@@ -133,7 +141,7 @@ def _gelu_grad(h_pre):
     return cdf + h_pre * pdf
 
 
-def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+def _bwd_kernel(x_ref, hpre_ref, g_ref, lns_ref, lnb_ref, w1_ref, w2_ref,
                 dx_ref, dlns_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
                 db2_ref, *, ln_eps, rows_total):
     i = pl.program_id(0)
@@ -144,17 +152,17 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     # where (not multiply): block padding may read back as NaN
     xf = jnp.where(mask, x_ref[:].astype(jnp.float32), 0.0)  # (ROWS, D)
     gf = jnp.where(mask, g_ref[:].astype(jnp.float32), 0.0)  # (ROWS, d_out)
+    h_pre = jnp.where(mask, hpre_ref[:].astype(jnp.float32), 0.0)
     lns = lns_ref[:].astype(jnp.float32)
 
-    # recompute forward in VMEM
+    # recompute only the elementwise pieces (LN stats, GELU); the matmul
+    # hidden comes from the saved h_pre
     mean = xf.mean(axis=-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + ln_eps)
     xhat = (xf - mean) * rstd
     xn = xhat * lns + lnb_ref[:].astype(jnp.float32)
     xn_c = xn.astype(x_ref.dtype)
-    h_pre = (jnp.dot(xn_c, w1_ref[:], preferred_element_type=jnp.float32)
-             + b1_ref[:].astype(jnp.float32))  # (ROWS, hidden) fp32
     h = 0.5 * h_pre * (1.0 + _erf(h_pre * np.float32(1 / np.sqrt(2))))
     h_c = h.astype(x_ref.dtype)
 
@@ -206,7 +214,7 @@ def _bwd_kernel(x_ref, g_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         db2_ref[:] += db2_blk
 
 
-def _bwd(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, ln_eps):
+def _bwd(x2d, hpre, g2d, ln_scale, ln_bias, w1, w2, ln_eps):
     M, D = x2d.shape
     hidden = w1.shape[1]
     d_out = w2.shape[1]
@@ -227,11 +235,11 @@ def _bwd(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, ln_eps):
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROWS, D), lambda i: (i, 0)),
+            pl.BlockSpec((ROWS, hidden), lambda i: (i, 0)),
             pl.BlockSpec((ROWS, d_out), lambda i: (i, 0)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D, hidden), lambda i: (0, 0)),
-            pl.BlockSpec((hidden,), lambda i: (0,)),
             pl.BlockSpec((hidden, d_out), lambda i: (0, 0)),
         ],
         out_specs=(
@@ -251,25 +259,28 @@ def _bwd(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, ln_eps):
                             + 2 * (D + d_out) * hidden) * x2d.dtype.itemsize,
             transcendentals=2 * M * hidden,
         ),
-    )(x2d, g2d, ln_scale, ln_bias, w1, b1, w2)
+    )(x2d, hpre, g2d, ln_scale, ln_bias, w1, w2)
     return dx, dlns[0], dlnb[0], dw1, db1[0], dw2, db2[0]
 
 
 def _vjp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps):
-    return (fused_prenorm_ffn(x, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps),
-            (x, ln_scale, ln_bias, w1, b1, w2, b2))
+    shape = x.shape
+    out, hpre = _fwd(x.reshape(-1, shape[-1]), ln_scale, ln_bias, w1, b1,
+                     w2, b2, ln_eps, with_hpre=True)
+    out = out.reshape(shape[:-1] + (w2.shape[1],))
+    return out, (x, hpre, ln_scale, ln_bias, w1, w2)
 
 
 def _vjp_bwd(ln_eps, res, g):
-    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    x, hpre, ln_scale, ln_bias, w1, w2 = res
     shape = x.shape
     dx, dlns, dlnb, dw1, db1, dw2, db2 = _bwd(
-        x.reshape(-1, shape[-1]), g.reshape(-1, g.shape[-1]),
-        ln_scale, ln_bias, w1, b1, w2, ln_eps)
+        x.reshape(-1, shape[-1]), hpre, g.reshape(-1, g.shape[-1]),
+        ln_scale, ln_bias, w1, w2, ln_eps)
     return (dx.reshape(shape),
             dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
-            dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+            dw1.astype(w1.dtype), db1.astype(w1.dtype),
+            dw2.astype(w2.dtype), db2.astype(w2.dtype))
 
 
 fused_prenorm_ffn.defvjp(_vjp_fwd, _vjp_bwd)

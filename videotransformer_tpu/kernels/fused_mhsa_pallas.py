@@ -36,11 +36,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _block_diag_mask(n, block):
+    """(n, n) bool: True where row and col fall in the same length-`block`
+    diagonal block. Packing many short sequences into one kernel row-block
+    and masking turns tiny-T attention (divided TEMPORAL attention, T=8)
+    into full MXU tiles instead of a VPU broadcast storm."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // block
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // block
+    return row == col
+
+
+def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False):
+    """Computed scoped-VMEM cap: stay at the 16MB default when everything
+    fits (Mosaic pipelines best there — raising it at small N measured
+    268 -> 248 clips/s), raise it only when the buffers genuinely need more
+    (long sequences, fp32 inputs, saved-qkv outputs)."""
+    weights = (D * 3 * D + D * D) * itemsize
+    acts = 2 * N * D * itemsize * 2 + N * 3 * D * itemsize
+    scores = 3 * N * N * 4  # per-head fp32 s/p (+dp/ds in backward)
+    need = weights + acts + scores
+    if with_qkv:
+        need += N * 4 * D * itemsize
+    if bwd:
+        need += N * 3 * D * itemsize + N * N * 4
+    need = int(need * 1.5)
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 * 1024 * 1024))
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-            o_ref, *rest, num_heads, scale, ln_eps, add_residual, with_qkv=False):
+            o_ref, *rest, num_heads, scale, ln_eps, add_residual,
+            with_qkv=False, block_diag=0):
     x = x_ref[0]  # (N, D)
     N, D = x.shape
     hd = D // num_heads
+    mask = _block_diag_mask(N, block_diag) if block_diag else None
 
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
@@ -64,6 +95,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (N, N)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -83,7 +116,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 
 def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                   num_heads, scale, ln_eps, add_residual=True):
+                   num_heads, scale, ln_eps, add_residual=True,
+                   block_diag=0):
     """Pure-jnp reference (also the backward recompute path)."""
     B, N, D = x.shape
     hd = D // num_heads
@@ -99,6 +133,8 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     q, k, v = qkv[0], qkv[1], qkv[2]
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                    preferred_element_type=jnp.float32) * scale
+    if block_diag:
+        s = jnp.where(_block_diag_mask(N, block_diag), s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(x.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
@@ -112,7 +148,8 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-         num_heads, scale, ln_eps, add_residual, with_qkv=False):
+         num_heads, scale, ln_eps, add_residual, with_qkv=False,
+         block_diag=0):
     B, N, D = x.shape
     grid = (B,)
     full = lambda *_: (0, 0)
@@ -125,7 +162,7 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, add_residual=add_residual,
-                          with_qkv=with_qkv),
+                          with_qkv=with_qkv, block_diag=block_diag),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
@@ -142,13 +179,8 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
              pl.BlockSpec((1, N, 3 * D), lambda i: (i, 0, 0)),
              pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)))
             if with_qkv else pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))),
-        # v5e has ~128MB VMEM; the default ~16MB scoped limit blocks long
-        # sequences (joint space-time N=1569 needs ~24MB). Only raise it
-        # there: a high limit at small N makes Mosaic trade pipelining for
-        # bigger buffers (268 -> 248 clips/s on the headline config).
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if N > 512 else None),
+        compiler_params=_vmem_params(N, D, x.dtype.itemsize, num_heads,
+                                     with_qkv=with_qkv),
         cost_estimate=pl.CostEstimate(
             flops=B * (2 * N * D * 3 * D + 4 * N * N * D + 2 * N * D * D),
             bytes_accessed=(2 * B * N * D + D * 4 * D) * x.dtype.itemsize,
@@ -157,33 +189,96 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                       num_heads, scale, ln_eps=1e-5, add_residual=True):
+                       num_heads, scale, ln_eps=1e-5, add_residual=True,
+                       block_diag=0):
     """x (B, N, D) -> LayerNorm -> MHSA -> proj [-> +x]. Weights flax layout
-    (in, out)."""
+    (in, out). block_diag=T masks attention into independent length-T
+    diagonal blocks (packed tiny-sequence attention — divided temporal)."""
     return _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                num_heads, scale, ln_eps, add_residual)
+                num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
+
+
+def _attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, scale,
+                     block_diag=0):
+    """d(qkv) of multi-head attention, directly in the packed (N, 3D) layout
+    of the saved qkv — no head-split/merge relayouts in HBM."""
+    qkv = qkv_ref[0]  # (N, 3D)
+    do = do_ref[0]    # (N, D)
+    N, D3 = qkv.shape
+    D = D3 // 3
+    hd = D // num_heads
+    mask = _block_diag_mask(N, block_diag) if block_diag else None
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (N, N)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        p_c = p.astype(qkv.dtype)
+        dv = jax.lax.dot_general(  # p^T do
+            p_c, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(  # do v^T
+            do_h, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+              ).astype(qkv.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(  # ds^T q
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, D + h * hd:D + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * D + h * hd:2 * D + (h + 1) * hd] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _attn_bwd(qkv, do, num_heads, scale, block_diag=0):
+    B, N, D3 = qkv.shape
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads, scale=scale,
+                          block_diag=block_diag),
+        out_shape=jax.ShapeDtypeStruct((B, N, D3), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, D3 // 3), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
+        compiler_params=_vmem_params(N, D3 // 3, qkv.dtype.itemsize,
+                                     num_heads, bwd=True),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * N * N * D3 // 3,
+            bytes_accessed=3 * B * N * D3 * qkv.dtype.itemsize,
+            transcendentals=B * N * N * num_heads,
+        ),
+    )(qkv, do)
 
 
 def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-             num_heads, scale, ln_eps, add_residual):
+             num_heads, scale, ln_eps, add_residual, block_diag):
     out, qkv, attn_out = _fwd(
         x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-        num_heads, scale, ln_eps, add_residual, with_qkv=True)
+        num_heads, scale, ln_eps, add_residual, with_qkv=True,
+        block_diag=block_diag)
     return out, (x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj)
 
 
-def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
+def _vjp_bwd(num_heads, scale, ln_eps, add_residual, block_diag, res, g):
     """Split backward on the saved qkv / attn_out: projection grads are plain
-    matmuls, dq/dk/dv run through the Pallas flash backward (no N×N matrix in
-    HBM), and the LN + qkv-matmul backward is hand-written (recomputes only
-    the elementwise LN)."""
-    from videotransformer_tpu.kernels.flash_attention_pallas import _flash_bwd
-
+    matmuls, d(qkv) runs through one Pallas kernel in the packed layout (no
+    N×N matrix and no head relayouts in HBM), and the LN + qkv-matmul
+    backward is hand-written (recomputes only the elementwise LN)."""
     x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj = res
-    B, N, D = x.shape
-    hd = D // num_heads
     gf = g.astype(jnp.float32)
 
     # projection backward (out = attn_out @ wproj + bproj [+ x])
@@ -194,14 +289,7 @@ def _vjp_bwd(num_heads, scale, ln_eps, add_residual, res, g):
                     ).astype(x.dtype)
     d_x_res = g if add_residual else None
 
-    # attention backward through the Pallas flash kernel
-    heads = lambda t: t.reshape(B, N, num_heads, hd).transpose(0, 2, 1, 3)
-    q = heads(qkv[..., :D])
-    k = heads(qkv[..., D:2 * D])
-    v = heads(qkv[..., 2 * D:])
-    dq, dk, dv = _flash_bwd(q, k, v, heads(do), scale)
-    unheads = lambda t: t.transpose(0, 2, 1, 3).reshape(B, N, D)
-    d_qkv = jnp.concatenate([unheads(dq), unheads(dk), unheads(dv)], axis=-1)
+    d_qkv = _attn_bwd(qkv, do, num_heads, scale, block_diag=block_diag)
 
     # recompute LN only (cheap, elementwise)
     xf = x.astype(jnp.float32)

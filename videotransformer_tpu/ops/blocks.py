@@ -177,6 +177,20 @@ class Attention(nn.Module):
         return out, attn
 
 
+def _pack_group(n_seqs: int, seq_len: int, max_rows: int = 512) -> int:
+    """Largest divisor G of n_seqs with G*seq_len <= max_rows: how many tiny
+    sequences to pack into one block-diagonal fused-attention call."""
+    best = 1
+    g = 1
+    while g * g <= n_seqs:
+        if n_seqs % g == 0:
+            for d in (g, n_seqs // g):
+                if d * seq_len <= max_rows and d > best:
+                    best = d
+        g += 1
+    return best
+
+
 def _use_fused_mhsa(mod, x, return_attention) -> bool:
     """Fused prenorm-MHSA kernel eligibility: TPU backend, no attention-weight
     request, no attention dropout, sequence long enough that the per-head
@@ -241,16 +255,39 @@ class DividedTemporalAttention(nn.Module):
             cls_rep = cls_rep.reshape(b * p, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
 
-        # NB: a fused Pallas prenorm kernel for this tiny-N attention was
-        # built and benchmarked in round 1 and LOST to the jnp VPU path
-        # (269 -> 190 clips/s: Mosaic keeps the unrolled per-head broadcast
-        # intermediates alive), so the temporal half deliberately stays on
-        # XLA (see _sdpa_small_n).
-        xn = self.norm(x)
-        attn_out, attn_w = self.attn(
-            xn, deterministic=deterministic, need_weights=return_attention)
-        if return_attention:
-            return attn_w
+        # TPU: pack G consecutive length-t sequences into one fused
+        # prenorm-MHSA call with a block-diagonal mask — the t x t attentions
+        # become full MXU tiles (a round-1 per-head VPU kernel LOST to XLA at
+        # 269 -> 190 clips/s; the packed-masked formulation is the one that
+        # wins). Falls back to the module path on CPU / cls-token layouts /
+        # attention-weight requests.
+        S, t_len, d_ = x.shape
+        G = _pack_group(S, t_len)
+        if (not return_attention and not self.is_initializing()
+                and self.attn_drop == 0.0 and G > 1
+                and vt_config.use_pallas_attention()):
+            from videotransformer_tpu.kernels.fused_mhsa_pallas import (
+                fused_prenorm_mhsa)
+
+            np_ = self.norm.variables["params"]
+            ap = self.attn.variables["params"]
+            head_dim = self.embed_dims // self.num_heads
+            packed = x.reshape(S // G, G * t_len, d_)
+            attn_out = fused_prenorm_mhsa(
+                packed.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                self.num_heads, head_dim**-0.5, 1e-5, False, t_len)
+            attn_out = attn_out.reshape(S, t_len, d_)
+        else:
+            xn = self.norm(x)
+            attn_out, attn_w = self.attn(
+                xn, deterministic=deterministic, need_weights=return_attention)
+            if return_attention:
+                return attn_w
         attn_out = self.post_drop(attn_out, deterministic=deterministic)
         attn_out = self.layer_drop(attn_out, deterministic=deterministic)
         if not self.use_cls_token:
@@ -603,12 +640,38 @@ class TransformerContainer(nn.Module):
         return x
 
 
+class _PatchProjection(nn.Module):
+    """Patch/tubelet projection as an explicit matmul with a conv-layout
+    kernel (checkpoint-compatible with Conv2d/Conv3d weights).
+
+    kernel == stride means the conv IS a reshaped matmul; expressing it as
+    one makes the BACKWARD a plain matmul too — XLA's conv-general gradient
+    path measured ~4x the forward cost for this shape on TPU.
+    """
+
+    kernel_spatial: Sequence[int]  # (kh, kw) or (kt, kh, kw)
+    in_channels: int
+    embed_dims: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches_2d):
+        k_shape = tuple(self.kernel_spatial) + (self.in_channels, self.embed_dims)
+        kernel = self.param(
+            "kernel", init.kaiming_normal_fan_in_relu(), k_shape, jnp.float32)
+        bias = self.param("bias", init.zeros_init, (self.embed_dims,), jnp.float32)
+        flat = kernel.reshape(-1, self.embed_dims).astype(self.dtype)
+        out = jnp.dot(patches_2d.astype(self.dtype), flat,
+                      preferred_element_type=jnp.float32)
+        return (out + bias.astype(jnp.float32)).astype(self.dtype)
+
+
 class PatchEmbed(nn.Module):
     """Image/tubelet to patch embedding (transformer.py:83-151).
 
-    Input: (b, t, c, h, w) — the reference's public layout. Internally runs the
-    conv in channels-last so XLA lowers it onto the MXU as one big matmul
-    (kernel == stride means the conv is exactly a reshaped matmul).
+    Input: (b, t, c, h, w) — the reference's public layout. kernel == stride
+    means the conv is exactly a reshaped matmul, so it runs as one explicit
+    MXU matmul (forward AND backward — see _PatchProjection).
 
     Conv2d: per-frame 16x16 patches -> (b*t, h'*w', embed_dims)
     Conv3d: tubelet (tube, 16, 16)  -> (b*t', h'*w', embed_dims)
@@ -629,35 +692,27 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, c, h, w = x.shape
+        ps = self.patch_size
+        gh, gw = h // ps, w // ps
         if self.conv_type == "Conv2d":
-            x = x.reshape(b * t, c, h, w).transpose(0, 2, 3, 1)  # NHWC
-            x = nn.Conv(
-                self.embed_dims,
-                kernel_size=(self.patch_size, self.patch_size),
-                strides=(self.patch_size, self.patch_size),
-                padding="VALID",
-                dtype=self.dtype,
-                kernel_init=init.kaiming_normal_fan_in_relu(),
-                bias_init=init.zeros_init,
-                name="projection",
-            )(x)
-            bt, hh, ww, d = x.shape
-            return x.reshape(bt, hh * ww, d)
+            # (b t, gh, ps, gw, ps, c) -> patches (b t, gh gw, ps*ps*c)
+            x = x.reshape(b * t, c, gh, ps, gw, ps)
+            x = x.transpose(0, 2, 4, 3, 5, 1).reshape(b * t, gh * gw, ps * ps * c)
+            out = _PatchProjection(
+                (ps, ps), c, self.embed_dims, dtype=self.dtype,
+                name="projection")(x)
+            return out
         elif self.conv_type == "Conv3d":
-            x = x.transpose(0, 1, 3, 4, 2)  # (b, t, h, w, c) = NDHWC
-            x = nn.Conv(
-                self.embed_dims,
-                kernel_size=(self.tube_size, self.patch_size, self.patch_size),
-                strides=(self.tube_size, self.patch_size, self.patch_size),
-                padding="VALID",
-                dtype=self.dtype,
-                kernel_init=init.kaiming_normal_fan_in_relu(),
-                bias_init=init.zeros_init,
-                name="projection",
-            )(x)
-            bb, tt, hh, ww, d = x.shape
-            # reference: 'b c t h w -> (b t) (h w) c'
-            return x.reshape(bb * tt, hh * ww, d)
+            tt = self.tube_size
+            gt = t // tt
+            # (b, gt, tt, c, gh, ps, gw, ps) -> (b gt, gh gw, tt*ps*ps*c)
+            x = x.reshape(b, gt, tt, c, gh, ps, gw, ps)
+            x = x.transpose(0, 1, 4, 6, 2, 5, 7, 3).reshape(
+                b * gt, gh * gw, tt * ps * ps * c)
+            out = _PatchProjection(
+                (tt, ps, ps), c, self.embed_dims, dtype=self.dtype,
+                name="projection")(x)
+            return out
         else:
             raise TypeError(f"Unsupported conv layer type {self.conv_type}")
 
