@@ -101,6 +101,24 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
+def _resolve_resume_checkpoint(ckpt_dir):
+    """-resume points at last_checkpoint (model_pretrain.py:190-192); if a
+    crash interrupted that write (orbax leaves only a *.orbax-checkpoint-tmp
+    dir), fall back to the newest COMPLETE checkpoint in the run dir instead
+    of silently starting from scratch."""
+    last = os.path.join(ckpt_dir, "last_checkpoint")
+    if os.path.exists(last):
+        return last
+    candidates = [
+        os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)
+        if not d.endswith(".orbax-checkpoint-tmp")
+        and os.path.isdir(os.path.join(ckpt_dir, d))
+    ] if os.path.isdir(ckpt_dir) else []
+    if not candidates:
+        return last  # nothing to resume; caller's exists() check skips it
+    return max(candidates, key=os.path.getmtime)
+
+
 def single_run(argv=None):
     args = parse_args(argv)
     warnings.filterwarnings("ignore")
@@ -163,12 +181,14 @@ def single_run(argv=None):
     )
 
     if args.resume and not args.resume_from_checkpoint:
-        args.resume_from_checkpoint = os.path.join(ckpt_dir, "last_checkpoint")
+        args.resume_from_checkpoint = _resolve_resume_checkpoint(ckpt_dir)
 
     trainer = VideoTransformerTrainer(
         configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test)
 
     if args.resume_from_checkpoint and os.path.exists(args.resume_from_checkpoint):
+        if jax.process_index() == 0:
+            print(f"resuming from {args.resume_from_checkpoint}", flush=True)
         trainer.load_checkpoint(args.resume_from_checkpoint)
 
     if jax.process_index() == 0:

@@ -63,3 +63,28 @@ def test_single_run_supervised(tmp_path, monkeypatch):
     # resumed at epoch 1 == max_epochs -> no extra training steps
     assert trainer2.epoch == 1
     assert trainer2.global_step == 2
+
+
+def test_resolve_resume_checkpoint(tmp_path):
+    """Crash-robust resume: interrupted last_checkpoint writes (orbax tmp
+    dirs) fall back to the newest complete checkpoint."""
+    import os
+    import time as _time
+
+    from model_pretrain import _resolve_resume_checkpoint
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    # nothing there: points at (nonexistent) last_checkpoint
+    assert _resolve_resume_checkpoint(str(d)).endswith("last_checkpoint")
+
+    (d / "last_checkpoint.orbax-checkpoint-tmp").mkdir()
+    assert not os.path.exists(_resolve_resume_checkpoint(str(d)))
+
+    (d / "old_ep_1").mkdir()
+    _time.sleep(0.05)
+    (d / "new_ep_2").mkdir()
+    assert _resolve_resume_checkpoint(str(d)).endswith("new_ep_2")
+
+    (d / "last_checkpoint").mkdir()
+    assert _resolve_resume_checkpoint(str(d)).endswith("last_checkpoint")

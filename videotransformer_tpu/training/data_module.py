@@ -81,7 +81,14 @@ class KineticsDataModule:
                 host_hog_targets=self.host_hog_targets)
 
         self.val_dataset = None
-        if self.val_ann_path:
+        if self.val_ann_path and self.device_augment:
+            # device-eval: raw canonical clips; Resize+CenterCrop+Normalize
+            # run inside the jitted eval step (device_augment.
+            # eval_preprocess_batch)
+            self.val_dataset = Kinetics(
+                cfg, self.val_ann_path, transform=None,
+                temporal_sample=temporal_sample, raw_clips=True)
+        elif self.val_ann_path:
             val_transform = T.create_video_transform(
                 input_size=cfg.img_size, is_training=False,
                 interpolation="bicubic", mean=mean, std=std)
@@ -90,7 +97,11 @@ class KineticsDataModule:
                 temporal_sample=temporal_sample)
 
         self.test_dataset = None
-        if self.test_ann_path:
+        if self.test_ann_path and self.device_augment:
+            self.test_dataset = Kinetics(
+                cfg, self.test_ann_path, transform=None,
+                temporal_sample=temporal_sample, raw_clips=True)
+        elif self.test_ann_path:
             test_transform = T.Compose([
                 T.Resize(scale_range=(-1, 256)),
                 T.ThreeCrop(size=cfg.img_size),
@@ -126,9 +137,11 @@ class KineticsDataModule:
                             collate_fn=collate)
 
     def val_loader(self):
+        collate = collate_raw if self.device_augment else collate_supervised
         return self._loader(self.val_dataset, shuffle=False, drop_last=False,
-                            collate_fn=collate_supervised)
+                            collate_fn=collate)
 
     def test_loader(self):
+        collate = collate_raw if self.device_augment else ThreeCropCollate()
         return self._loader(self.test_dataset, shuffle=False, drop_last=False,
-                            collate_fn=ThreeCropCollate())
+                            collate_fn=collate)

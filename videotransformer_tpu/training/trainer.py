@@ -331,8 +331,24 @@ class VideoTransformerTrainer:
             return None
 
         def step(params, batch, n_crops):
+            if "raw_video" in batch:
+                # device-side eval recipe (Resize + Center/ThreeCrop +
+                # Normalize fused into the step) on canonical uint8 clips
+                from videotransformer_tpu.data.device_augment import (
+                    eval_preprocess_batch)
+                from videotransformer_tpu.training.data_module import (
+                    dataset_statistics)
+
+                cfg = self.configs
+                mean, std = dataset_statistics(
+                    getattr(cfg, "data_statics", "kinetics"))
+                video = eval_preprocess_batch(
+                    batch["raw_video"], img_size=cfg.img_size,
+                    three_crop=n_crops > 1, mean=mean, std=std)
+            else:
+                video = batch["video"]
             feats = self._forward_features(
-                params["model"], batch["video"], deterministic=True)
+                params["model"], video, deterministic=True)
             logits = self.cls_head.apply({"params": params["cls_head"]}, feats)
             if n_crops > 1:
                 logits = logits.reshape(-1, n_crops, logits.shape[-1]).mean(axis=1)
@@ -353,10 +369,17 @@ class VideoTransformerTrainer:
         pad = (-b) % n_dev
         if pad == 0 and (labels.shape[0] * n_crops) % n_dev == 0:
             return batch
+        labels = np.concatenate([labels, np.full((pad,), -1, labels.dtype)])
+        if "raw_video" in batch:
+            # device-eval path: one raw clip per sample (crops happen on
+            # device), so padding is `pad` rows regardless of n_crops
+            video = batch["raw_video"]
+            video = np.concatenate(
+                [video, np.zeros((pad,) + video.shape[1:], video.dtype)])
+            return {"raw_video": video, "label": labels}
         video = batch["video"]
         video = np.concatenate(
             [video, np.zeros((pad * n_crops,) + video.shape[1:], video.dtype)])
-        labels = np.concatenate([labels, np.full((pad,), -1, labels.dtype)])
         return {"video": video, "label": labels}
 
     # ------------------------------------------------------------------
