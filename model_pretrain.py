@@ -125,6 +125,15 @@ def single_run(argv=None):
 
     import jax
 
+    # persistent XLA compilation cache: a resumed/restarted run skips the
+    # multi-minute 12-layer train-step compile (JAX_COMPILATION_CACHE_DIR
+    # overrides; keyed under root_dir so experiments share compiles)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.join(args.root_dir, "jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     # multi-host: initialize the distributed runtime when launched under a
     # multi-process coordinator (no-op on a single host)
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):

@@ -353,6 +353,7 @@ def test_mim_periodic_checkpoint(monkeypatch, tmp_path):
     tr.configs.save_ckpt_freq = 1
     tr.epoch = 0
     tr.train_epoch(_EmptyLoader(), max_epochs=2)
+    tr.wait_for_checkpoints()  # epoch-end saves are async (overlapped writes)
     names = sorted(os.listdir(tmp_path))
     assert "last_checkpoint" in names
     assert any("_ep_0" in n for n in names), names
@@ -392,3 +393,24 @@ def test_overfit_tiny_subset(monkeypatch):
                 break
     assert top1 == 1.0, f"failed to overfit: top1={top1}"
     assert float(stats["loss"]) < 1.0
+
+
+def test_async_checkpoint_snapshots_at_call_time(monkeypatch, tmp_path):
+    """save_checkpoint returns before the write finishes but must persist the
+    values at call time, even if training mutates params right after."""
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs()
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    ref_leaf = np.asarray(jax.tree.leaves(tr.params)[0])
+
+    path = str(tmp_path / "ckpt_async")
+    tr.save_checkpoint(path)
+    # mutate immediately — the snapshot must not see this
+    tr.params = jax.tree.map(lambda x: x + 1.0, tr.params)
+    tr.wait_for_checkpoints()
+
+    tr.load_checkpoint(path)
+    got = np.asarray(jax.tree.leaves(tr.params)[0])
+    np.testing.assert_allclose(got, ref_leaf, atol=1e-7)

@@ -494,31 +494,65 @@ class VideoTransformerTrainer:
         test_loader = data_module.test_loader()
         if test_loader is not None:
             self.test(test_loader)
+        self.wait_for_checkpoints()
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, path):
+    def save_checkpoint(self, path, block=False):
+        """Checkpoint without stalling training: snapshot params/opt-state
+        on device (cheap HBM copy), then a background thread runs the slow
+        device->host transfer and the orbax write while the next epoch
+        computes. The reference (Lightning save_checkpoint,
+        model_trainer.py:244-252) blocks the step loop for the whole write;
+        on TPU the D2H readback dominates, so overlapping it is nearly free
+        wall-clock. Saves are serialized (previous write joined first);
+        `block=True` restores fully synchronous behavior."""
+        import threading
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        ckpter = ocp.PyTreeCheckpointer()
-        payload = {
-            "params": jax.device_get(self.params),
-            "opt_state": {
-                "step": jax.device_get(self.opt_state.step),
-                "mu": jax.device_get(self.opt_state.mu),
-                "nu": jax.device_get(self.opt_state.nu),
-            },
-            "epoch": np.int32(self.epoch + 1),
-            "global_step": np.int32(self.global_step),
-            "max_top1_acc": np.float32(self.max_top1_acc),
-        }
-        ckpter.save(path, payload, force=True)
+        self.wait_for_checkpoints()  # at most one write in flight
+        snap_params = jax.tree.map(jnp.copy, self.params)
+        snap_opt = jax.tree.map(jnp.copy,
+                                (self.opt_state.step, self.opt_state.mu,
+                                 self.opt_state.nu))
+        epoch, step = np.int32(self.epoch + 1), np.int32(self.global_step)
+        top1 = np.float32(self.max_top1_acc)
+
+        def _write():
+            payload = {
+                "params": jax.device_get(snap_params),
+                "opt_state": {
+                    "step": jax.device_get(snap_opt[0]),
+                    "mu": jax.device_get(snap_opt[1]),
+                    "nu": jax.device_get(snap_opt[2]),
+                },
+                "epoch": epoch,
+                "global_step": step,
+                "max_top1_acc": top1,
+            }
+            ocp.PyTreeCheckpointer().save(path, payload, force=True)
+
+        if block:
+            _write()
+            return
+        self._ckpt_thread = threading.Thread(
+            target=_write, name=f"ckpt-write-{path}", daemon=False)
+        self._ckpt_thread.start()
+
+    def wait_for_checkpoints(self):
+        """Join any in-flight checkpoint write (call before load/exit)."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._ckpt_thread = None
 
     def load_checkpoint(self, path):
         import orbax.checkpoint as ocp
 
         from videotransformer_tpu.training.optimizer import RefOptState
 
+        self.wait_for_checkpoints()
         ckpter = ocp.PyTreeCheckpointer()
         payload = ckpter.restore(os.path.abspath(path))
         self.params = replicate(self.mesh, payload["params"])
