@@ -414,3 +414,45 @@ def test_async_checkpoint_snapshots_at_call_time(monkeypatch, tmp_path):
     tr.load_checkpoint(path)
     got = np.asarray(jax.tree.leaves(tr.params)[0])
     np.testing.assert_allclose(got, ref_leaf, atol=1e-7)
+
+
+def test_overfit_through_device_augment(monkeypatch):
+    """Trainability of the raw-clip device-augment path: the SAME train step
+    that fuses augment_batch must drive a tiny model to perfect train top-1
+    on distinct-pattern clips (gentle augment: mild crops, no jitter). Guards
+    against label/clip misalignment or normalization bugs in the fused
+    augmentation that shape-only tests cannot catch."""
+    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    _patch_tiny_model(monkeypatch)
+    cfg = _tiny_configs(num_class=8, lr=3e-3)
+    cfg.device_augment = True
+    cfg.aug_scale = (0.8, 1.0)
+    cfg.aug_hflip = 0.0
+    cfg.aug_color = (0.0, 0.0, 0.0, 0.0)
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None, do_eval=True)
+
+    rng = np.random.RandomState(5)
+    base = (rng.rand(8, 2, 36, 44, 3) * 255).astype(np.uint8)
+    raw = np.stack([np.roll(base[i], i * 5, axis=2) for i in range(8)])
+    labels = np.arange(8, dtype=np.int32)
+    batch = shard_batch(tr.mesh, {"raw_video": raw, "label": labels})
+    eval_batch = shard_batch(tr.mesh, {"raw_video": raw, "label": labels})
+
+    loss = None
+    for step in range(120):
+        key = jax.random.fold_in(tr.base_key, step)
+        tr.params, tr.opt_state, stats = tr._train_step(
+            tr.params, tr.opt_state, batch, key,
+            jnp.float32(3e-3), jnp.float32(0.05))
+        loss = float(stats["loss"])
+        if step >= 60 and loss < 0.2:
+            break
+    # memorization through the fused augment (any label/clip misalignment
+    # would also memorize, so additionally require the clean center-crop eval
+    # to be far above the 1/8 chance level)
+    assert loss < 0.2, f"failed to memorize through device augment: {loss}"
+    ev = tr._eval_step(tr.params, eval_batch, 1)
+    top1 = float(ev["top1"]) / float(ev["bs"])
+    assert top1 >= 0.5, f"eval through device path near chance: top1={top1}"

@@ -284,6 +284,10 @@ class VideoTransformerTrainer:
                         getattr(cfg, "data_statics", "kinetics"))
                     video = augment_batch(
                         aug_key, batch["raw_video"], out_size=cfg.img_size,
+                        scale=tuple(getattr(cfg, "aug_scale", (0.08, 1.0))),
+                        hflip=getattr(cfg, "aug_hflip", 0.5),
+                        color=tuple(getattr(cfg, "aug_color",
+                                            (0.4, 0.4, 0.4, 0.0))),
                         mean=mean, std=std)
                     labels = batch["label"]
                 else:
