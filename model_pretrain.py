@@ -88,6 +88,15 @@ def parse_args(argv=None):
     # TPU-native extension (not in the reference): decode fixed-size uint8
     # clips and run all train augmentation on device inside the jitted step
     parser.add_argument("-device_augment", type=bool, default=False)
+    parser.add_argument("-aug_scale", type=float, nargs=2, default=[0.08, 1.0],
+                        help="RandomResizedCrop area range of the device "
+                             "augment path (timm default 0.08 1.0)")
+    parser.add_argument("-aug_hflip", type=float, default=0.5,
+                        help="horizontal-flip probability (device augment)")
+    parser.add_argument("-aug_color", type=float, nargs=4,
+                        default=[0.4, 0.4, 0.4, 0.0],
+                        help="brightness/contrast/saturation/hue jitter "
+                             "strengths (device augment)")
     parser.add_argument("-classmap_path", type=str, default=None,
                         help="custom classmap json (defaults to bundled "
                              "k400/k600 maps by num_class)")
