@@ -132,7 +132,7 @@ def bench_mvit_inference():
                       "clips_per_sec_per_chip": round(clips, 1)}), flush=True)
 
 
-def bench_maskfeat_step():
+def bench_maskfeat_step(batch_sizes=(2, 8)):
     from types import SimpleNamespace
 
     from videotransformer_tpu.parallel.mesh import shard_batch
@@ -147,33 +147,39 @@ def bench_maskfeat_step():
         use_fp16=True)
     tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
     rng = np.random.RandomState(0)
-    B = 2
-    batch = shard_batch(tr.mesh, {
-        "video": rng.rand(B, 16, 3, 224, 224).astype(np.float32),
-        "raw": (rng.rand(B, 16, 3, 224, 224) * 255).astype(np.float32),
-        "mask": (rng.rand(B, 8, 14, 14) > 0.6).astype(np.int32),
-        "cube_marker": np.tile(
-            np.array([[[1, 2], [5, 1]] + [[0, 0]] * 6], np.int32), (B, 1, 1)),
-        "cube_count": np.full((B,), 2, np.int32)})
+    for B in batch_sizes:
+        batch = shard_batch(tr.mesh, {
+            "video": rng.rand(B, 16, 3, 224, 224).astype(np.float32),
+            "raw": (rng.rand(B, 16, 3, 224, 224) * 255).astype(np.float32),
+            "mask": (rng.rand(B, 8, 14, 14) > 0.6).astype(np.int32),
+            "cube_marker": np.tile(
+                np.array([[[1, 2], [5, 1]] + [[0, 0]] * 6], np.int32),
+                (B, 1, 1)),
+            "cube_count": np.full((B,), 2, np.int32)})
 
-    def step(s):
-        key = jax.random.fold_in(tr.base_key, s)
-        return tr._train_step(tr.params, tr.opt_state, batch, key,
-                              jnp.float32(8e-4), jnp.float32(0.05))
+        def step(s, params, opt_state):
+            key = jax.random.fold_in(tr.base_key, s)
+            return tr._train_step(params, opt_state, batch, key,
+                                  jnp.float32(8e-4), jnp.float32(0.05))
 
-    # two warmup steps: the first compiles, the second recompiles once more
-    # because donated outputs come back with a different (equivalent) sharding
-    for s in range(2):
-        tr.params, tr.opt_state, st = step(s)
+        # sweep on copies: _train_step donates its (params, opt_state) args
+        params = jax.tree.map(jnp.copy, tr.params)
+        opt_state = jax.tree.map(jnp.copy, tr.opt_state)
+        # two warmup steps: the first compiles, the second recompiles once
+        # more (donated outputs come back with a different sharding)
+        for s in range(2):
+            params, opt_state, st = step(s, params, opt_state)
+            _sync(st["loss"])
+        t0 = time.perf_counter()
+        for s in range(2, 7):
+            params, opt_state, st = step(s, params, opt_state)
         _sync(st["loss"])
-    t0 = time.perf_counter()
-    for s in range(2, 7):
-        tr.params, tr.opt_state, st = step(s)
-    _sync(st["loss"])
-    ms = (time.perf_counter() - t0) / 5 * 1000
-    print(json.dumps({"config": "maskfeat_mvit_b_16f_224_pretrain_step_b2",
-                      "ms_per_step": round(ms, 1),
-                      "clips_per_sec": round(B / (ms / 1000), 1)}), flush=True)
+        ms = (time.perf_counter() - t0) / 5 * 1000
+        del params, opt_state
+        print(json.dumps({"config": f"maskfeat_mvit_b_16f_224_pretrain_step_b{B}",
+                          "ms_per_step": round(ms, 1),
+                          "clips_per_sec": round(B / (ms / 1000), 1)}),
+              flush=True)
 
 
 def timesformer_fwd_flops(B, T=8, img=224, D=768, H=12, layers=12, P=None):
