@@ -88,3 +88,47 @@ def test_resolve_resume_checkpoint(tmp_path):
 
     (d / "last_checkpoint").mkdir()
     assert _resolve_resume_checkpoint(str(d)).endswith("last_checkpoint")
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_single_run_device_augment_and_eval(tmp_path, monkeypatch):
+    """-device_augment True routes train AND val/test through the raw-clip
+    device path: raw decode -> fused augment in the train step, device-side
+    Resize+Center/ThreeCrop+Normalize in the eval step (loader wiring in
+    data_module + the jitted eval steps)."""
+    import jax
+
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.parallel import mesh as mesh_mod
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    def tiny_build(configs):
+        return TimeSformer(
+            num_frames=configs.num_frames, img_size=configs.img_size,
+            patch_size=16, embed_dims=32, num_heads=4, num_transformer_layers=2,
+            attention_type=configs.attention_type)
+
+    monkeypatch.setattr(trainer_mod, "build_model", tiny_build)
+    orig_create = mesh_mod.create_mesh
+    monkeypatch.setattr(
+        trainer_mod, "create_mesh",
+        lambda *a, **k: orig_create(devices=jax.devices()[:1]))
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(4)))
+
+    import model_pretrain
+
+    argv = [
+        "-epoch", "1", "-batch_size", "2", "-num_workers", "1",
+        "-num_class", "400", "-num_frames", "2", "-frame_interval", "4",
+        "-img_size", "32", "-objective", "supervised", "-arch", "timesformer",
+        "-lr", "0.01", "-warmup_epochs", "1", "-root_dir", str(tmp_path),
+        "-train_data_path", str(ann), "-val_data_path", str(ann),
+        "-test_data_path", str(ann), "-log_interval", "1",
+        "-device_augment", "True", "-aug_scale", "0.5", "1.0",
+    ]
+    trainer = model_pretrain.single_run(argv)
+    assert trainer.global_step == 2
+    assert trainer.val_meter.total == 4   # one raw clip per sample
+    assert trainer.test_meter.total == 4  # 3 device crops averaged per clip
