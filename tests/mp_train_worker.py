@@ -1,0 +1,74 @@
+"""Worker for the two-process distributed training test.
+
+Run as: python tests/mp_train_worker.py <process_id> <num_processes> <port>
+
+Each process owns 4 virtual CPU devices (8 global), initializes
+jax.distributed (gloo collectives — the CPU stand-in for ICI), builds the
+SAME tiny trainer, feeds its own LOCAL shard of a deterministic global batch
+through shard_local_batch, and prints the per-step loss/grad_norm. The
+parent test asserts both processes print identical values that match a
+single-process run of the full global batch — real multi-process evidence
+for the DP gradient all-reduce (the reference's NCCL DDP analogue,
+model_pretrain.py:200-204).
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=nproc, process_id=pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.parallel.mesh import shard_local_batch
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    trainer_mod.build_model = lambda configs: TimeSformer(
+        num_frames=2, img_size=32, patch_size=16, embed_dims=32, num_heads=4,
+        num_transformer_layers=2, attention_type="divided_space_time")
+
+    cfg = SimpleNamespace(
+        objective="supervised", arch="timesformer",
+        attention_type="divided_space_time", num_class=10, num_frames=2,
+        img_size=32, batch_size=4, optim_type="adamw", lr=1e-3,
+        lr_schedule="cosine", warmup_epochs=1, min_lr=1e-6, weight_decay=0.05,
+        weight_decay_end=0.05, clip_grad=1.0, seed=0, mixup=False,
+        eval_metrics="finetune", layer_decay=1.0)
+    tr = trainer_mod.VideoTransformerTrainer(cfg, ckpt_dir=None)
+    assert jax.device_count() == 8 and jax.process_count() == nproc
+
+    # deterministic GLOBAL batch; this process contributes rows [pid*4, ...)
+    rng = np.random.RandomState(0)
+    video = rng.rand(8, 2, 3, 32, 32).astype(np.float32)
+    labels = (np.arange(8) % 10).astype(np.int32)
+    local = {"video": video[pid * 4:(pid + 1) * 4],
+             "label": labels[pid * 4:(pid + 1) * 4]}
+    batch = shard_local_batch(tr.mesh, local)
+
+    for step in range(2):
+        key = jax.random.fold_in(tr.base_key, step)
+        tr.params, tr.opt_state, stats = tr._train_step(
+            tr.params, tr.opt_state, batch, key,
+            jnp.float32(1e-3), jnp.float32(0.05))
+        print(f"STEP {step} loss {float(stats['loss']):.8f} "
+              f"grad_norm {float(stats['grad_norm']):.6f}", flush=True)
+    print("WORKER OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

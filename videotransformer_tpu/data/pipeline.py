@@ -184,14 +184,17 @@ def device_prefetch(iterator, mesh=None, size=2):
     """Wrap a host batch iterator with async device_put (double-buffering)."""
     import jax
 
-    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.parallel.mesh import shard_local_batch
 
     buf = []
     it = iter(iterator)
 
     def put(batch):
         if mesh is not None:
-            return shard_batch(mesh, batch)
+            # multi-host: the loader yields this process's local shard;
+            # shard_local_batch assembles the global array (= shard_batch
+            # in single-process runs)
+            return shard_local_batch(mesh, batch)
         return jax.tree.map(jax.device_put, batch)
 
     try:

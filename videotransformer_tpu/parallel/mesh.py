@@ -40,6 +40,26 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(put, tree)
 
 
+def shard_local_batch(mesh: Mesh, tree):
+    """Multi-host batch assembly: each process passes its LOCAL shard of the
+    global batch (dim 0, as produced by the process_index-keyed Loader) and
+    gets back the global jax.Array sharded over ``data`` — the TPU-native
+    equivalent of DistributedSampler feeding per-rank DDP inputs
+    (model_pretrain.py:158-164 world-size semantics). Identical to
+    shard_batch in a single-process run."""
+    nproc = jax.process_count()
+
+    def put(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, tree)
+
+
 def replicate(mesh: Mesh, tree):
     """Device_put a pytree fully replicated over the mesh."""
     sharding = NamedSharding(mesh, P())
