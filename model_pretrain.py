@@ -112,15 +112,17 @@ def parse_args(argv=None):
 
 def _resolve_resume_checkpoint(ckpt_dir):
     """-resume points at last_checkpoint (model_pretrain.py:190-192); if a
-    crash interrupted that write (orbax leaves only a *.orbax-checkpoint-tmp
-    dir), fall back to the newest COMPLETE checkpoint in the run dir instead
-    of silently starting from scratch."""
+    crash interrupted that write (orbax names the in-flight dir
+    '<name>.orbax-checkpoint-tmp-<timestamp>' — TMP_DIR_SUFFIX plus a
+    timestamp, so substring-match rather than endswith), fall back to the
+    newest COMPLETE checkpoint in the run dir instead of silently starting
+    from scratch."""
     last = os.path.join(ckpt_dir, "last_checkpoint")
     if os.path.exists(last):
         return last
     candidates = [
         os.path.join(ckpt_dir, d) for d in os.listdir(ckpt_dir)
-        if not d.endswith(".orbax-checkpoint-tmp")
+        if ".orbax-checkpoint-tmp" not in d
         and os.path.isdir(os.path.join(ckpt_dir, d))
     ] if os.path.isdir(ckpt_dir) else []
     if not candidates:
@@ -202,7 +204,8 @@ def single_run(argv=None):
         args.resume_from_checkpoint = _resolve_resume_checkpoint(ckpt_dir)
 
     trainer = VideoTransformerTrainer(
-        configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test)
+        configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test,
+        log_dir=log_dir)
 
     if args.resume_from_checkpoint and os.path.exists(args.resume_from_checkpoint):
         if jax.process_index() == 0:

@@ -59,6 +59,14 @@ def test_single_run_supervised(tmp_path, monkeypatch):
     ckpt_dir = results[0] / "ckpt"
     assert (ckpt_dir / "last_checkpoint").exists()
 
+    # the run leaves a training log on disk like the reference's bundled
+    # demo/log_arch_timesformer…txt (step lines + epoch summaries)
+    log_file = results[0] / "log" / "train.log"
+    assert log_file.exists()
+    log_text = log_file.read_text()
+    assert "loss" in log_text and "data_time" in log_text
+    assert "of current validation epoch" in log_text
+
     trainer2 = model_pretrain.single_run(argv + ["-resume"])
     # resumed at epoch 1 == max_epochs -> no extra training steps
     assert trainer2.epoch == 1
@@ -78,6 +86,10 @@ def test_resolve_resume_checkpoint(tmp_path):
     # nothing there: points at (nonexistent) last_checkpoint
     assert _resolve_resume_checkpoint(str(d)).endswith("last_checkpoint")
 
+    # orbax 0.11 names in-flight dirs '<name>.orbax-checkpoint-tmp-<ts>'
+    (d / "last_checkpoint.orbax-checkpoint-tmp-1723900000").mkdir()
+    assert not os.path.exists(_resolve_resume_checkpoint(str(d)))
+    # legacy suffix-only naming must be excluded too
     (d / "last_checkpoint.orbax-checkpoint-tmp").mkdir()
     assert not os.path.exists(_resolve_resume_checkpoint(str(d)))
 

@@ -28,7 +28,12 @@ def _free_port():
 def _parse(out):
     steps = re.findall(r"STEP (\d+) loss ([\d.]+) grad_norm ([\d.]+)", out)
     assert "WORKER OK" in out, out[-2000:]
-    return {int(s): (float(l), float(g)) for s, l, g in steps}
+    parsed = {int(s): (float(l), float(g)) for s, l, g in steps}
+    for phase in ("VAL", "TEST"):
+        m = re.search(rf"{phase} top1 ([\d.]+) top5 ([\d.]+)", out)
+        assert m, out[-2000:]
+        parsed[phase] = (float(m.group(1)), float(m.group(2)))
+    return parsed
 
 
 def test_two_process_training_matches_single_process():
@@ -48,7 +53,7 @@ def test_two_process_training_matches_single_process():
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
     r0, r1 = _parse(outs[0]), _parse(outs[1])
-    assert set(r0) == {0, 1} and r0 == r1, (r0, r1)
+    assert set(r0) == {0, 1, "VAL", "TEST"} and r0 == r1, (r0, r1)
 
     # single-process ground truth on the same global batch (8 local devices
     # via conftest env)
@@ -87,5 +92,20 @@ def test_two_process_training_matches_single_process():
             np.testing.assert_allclose(float(stats["loss"]), loss, atol=2e-5)
             np.testing.assert_allclose(float(stats["grad_norm"]), gn,
                                        atol=2e-4)
+
+        # eval-path ground truth: same global eval set through validate()
+        # and the three-crop test() in ONE process must reproduce the
+        # two-process global meters (multi-host _pad_eval_batch +
+        # shard_local_batch evidence, model_trainer.py:254-299)
+        erng = np.random.RandomState(1)
+        eval_video = erng.rand(12, 2, 3, 32, 32).astype(np.float32)
+        eval_labels = (np.arange(12) % 10).astype(np.int32)
+        tr.do_eval = tr.do_test = True
+        top1, top5 = tr.validate([{"video": eval_video, "label": eval_labels}])
+        np.testing.assert_allclose((top1, top5), r0["VAL"], atol=1e-6)
+        crops = np.stack([eval_video, eval_video * 0.9, eval_video * 1.1],
+                         axis=1).reshape(36, 2, 3, 32, 32)
+        t1, t5 = tr.test([{"video": crops, "label": eval_labels}])
+        np.testing.assert_allclose((t1, t5), r0["TEST"], atol=1e-6)
     finally:
         trainer_mod.build_model = orig_build

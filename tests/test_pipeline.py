@@ -105,3 +105,29 @@ def test_multihost_same_epoch_same_permutation():
         shards.append(next(iter(l))["label"])
     np.testing.assert_array_equal(np.asarray(order)[pi::2], shards[pi])
     np.testing.assert_array_equal(np.asarray(order)[0::2], shards[0])
+
+
+def test_perpetually_failing_decode_bounded(tmp_path):
+    """A dataset whose every decode fails must abort after
+    max_decode_retries resampled attempts (raising inside __getitem__, which
+    the loader propagates) instead of spinning forever inside the retry loop
+    where the loader's no-progress watchdog can't see it."""
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.data.dataset import Kinetics
+
+    ann = tmp_path / "ann.txt"
+    bogus = tmp_path / "missing.mp4"  # never exists -> every decode raises
+    ann.write_text(f"{bogus}\tabseiling\n")
+    cfg = SimpleNamespace(num_class=400, num_samples_per_cls=10,
+                          num_frames=2, objective="supervised")
+    ds = Kinetics(cfg, str(ann), temporal_sample=T.TemporalRandomCrop(8),
+                  raw_clips=True, max_decode_retries=5)
+    with pytest.raises(RuntimeError, match="5 resampled"):
+        ds[0]
+
+    # and through the loader: the bounded failure propagates as a worker error
+    loader = Loader(ds, batch_size=1, num_workers=1, worker_timeout=30.0)
+    with pytest.raises(RuntimeError):
+        next(iter(loader))

@@ -92,7 +92,8 @@ class Kinetics:
 
     def __init__(self, configs, annotation_path, transform=None,
                  temporal_sample=None, host_hog_targets=False,
-                 raw_clips=False, canonical_hw=(256, 342)):
+                 raw_clips=False, canonical_hw=(256, 342),
+                 max_decode_retries=None):
         self.configs = configs
         self.data = load_annotations(
             annotation_path, configs.num_class, configs.num_samples_per_cls,
@@ -114,6 +115,12 @@ class Kinetics:
         # resize rides the decoder's swscale pass.
         self.raw_clips = raw_clips
         self.canonical_hw = canonical_hw
+        # the reference resamples forever on decode failure (dataset.py:152-168);
+        # a fully-corrupt dataset would then hang a loader worker inside
+        # __getitem__ without tripping the loader's no-progress watchdog, so
+        # bound the resample loop (None = reference-parity infinite retry;
+        # KineticsDataModule passes a finite default)
+        self.max_decode_retries = max_decode_retries
 
         if self.objective == "mim":
             self.mask_generator = CubeMaskGenerator(
@@ -122,6 +129,7 @@ class Kinetics:
     def __getitem__(self, index):
         from videotransformer_tpu.data.video_reader import VideoReader
 
+        attempts = 0
         while True:
             try:
                 path = os.path.join(self.video_root, self.data[index]["video"])
@@ -139,6 +147,12 @@ class Kinetics:
                 break
             except Exception as e:
                 print(e)
+                attempts += 1
+                if (self.max_decode_retries is not None
+                        and attempts > self.max_decode_retries):
+                    raise RuntimeError(
+                        f"decode failed for {self.max_decode_retries} resampled "
+                        f"clips in a row (last: {path})") from e
                 index = random.randint(0, len(self.data) - 1)
 
         if self.raw_clips:

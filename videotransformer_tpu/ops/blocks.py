@@ -259,8 +259,9 @@ class DividedTemporalAttention(nn.Module):
         # prenorm-MHSA call with a block-diagonal mask — the t x t attentions
         # become full MXU tiles (a round-1 per-head VPU kernel LOST to XLA at
         # 269 -> 190 clips/s; the packed-masked formulation is the one that
-        # wins). Falls back to the module path on CPU / cls-token layouts /
-        # attention-weight requests.
+        # wins). Handles both plain length-t and cls-token (t+1)-length
+        # sequence layouts; falls back to the module path on CPU /
+        # attention-weight requests / attention dropout.
         S, t_len, d_ = x.shape
         G = _pack_group(S, t_len)
         if (not return_attention and not self.is_initializing()

@@ -55,6 +55,10 @@ class KineticsDataModule:
         self.mean, self.std = mean, std
 
         temporal_sample = T.TemporalRandomCrop(cfg.num_frames * cfg.frame_interval)
+        # bound the decode retry-resample loop so a fully-corrupt shard fails
+        # loudly (worker error propagates) instead of spinning inside
+        # __getitem__ forever under the loader's no-progress watchdog
+        max_retries = getattr(cfg, "max_decode_retries", 100)
 
         self.device_augment = bool(getattr(cfg, "device_augment", False)) \
             and cfg.objective == "supervised"
@@ -63,7 +67,8 @@ class KineticsDataModule:
         if self.train_ann_path and self.device_augment:
             self.train_dataset = Kinetics(
                 cfg, self.train_ann_path, transform=None,
-                temporal_sample=temporal_sample, raw_clips=True)
+                temporal_sample=temporal_sample, raw_clips=True,
+                max_decode_retries=max_retries)
         elif self.train_ann_path:
             train_transform = T.create_video_transform(
                 objective=cfg.objective,
@@ -78,7 +83,8 @@ class KineticsDataModule:
             self.train_dataset = Kinetics(
                 cfg, self.train_ann_path, transform=train_transform,
                 temporal_sample=temporal_sample,
-                host_hog_targets=self.host_hog_targets)
+                host_hog_targets=self.host_hog_targets,
+                max_decode_retries=max_retries)
 
         self.val_dataset = None
         if self.val_ann_path and self.device_augment:
@@ -87,20 +93,22 @@ class KineticsDataModule:
             # eval_preprocess_batch)
             self.val_dataset = Kinetics(
                 cfg, self.val_ann_path, transform=None,
-                temporal_sample=temporal_sample, raw_clips=True)
+                temporal_sample=temporal_sample, raw_clips=True,
+                max_decode_retries=max_retries)
         elif self.val_ann_path:
             val_transform = T.create_video_transform(
                 input_size=cfg.img_size, is_training=False,
                 interpolation="bicubic", mean=mean, std=std)
             self.val_dataset = Kinetics(
                 cfg, self.val_ann_path, transform=val_transform,
-                temporal_sample=temporal_sample)
+                temporal_sample=temporal_sample, max_decode_retries=max_retries)
 
         self.test_dataset = None
         if self.test_ann_path and self.device_augment:
             self.test_dataset = Kinetics(
                 cfg, self.test_ann_path, transform=None,
-                temporal_sample=temporal_sample, raw_clips=True)
+                temporal_sample=temporal_sample, raw_clips=True,
+                max_decode_retries=max_retries)
         elif self.test_ann_path:
             test_transform = T.Compose([
                 T.Resize(scale_range=(-1, 256)),
@@ -110,7 +118,7 @@ class KineticsDataModule:
             ])
             self.test_dataset = Kinetics(
                 cfg, self.test_ann_path, transform=test_transform,
-                temporal_sample=temporal_sample)
+                temporal_sample=temporal_sample, max_decode_retries=max_retries)
 
     def _loader(self, dataset, shuffle, drop_last, collate_fn):
         if dataset is None:

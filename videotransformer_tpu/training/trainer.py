@@ -93,9 +93,16 @@ def build_model(configs):
 
 class VideoTransformerTrainer:
     def __init__(self, configs, ckpt_dir=None, do_eval=False, do_test=False,
-                 n_crops=3, mesh=None, seed=None):
+                 n_crops=3, mesh=None, seed=None, log_dir=None):
         self.configs = configs
         self.ckpt_dir = ckpt_dir
+        # the reference leaves its run log in results/{tag}/ as a regression
+        # artifact (demo/log_arch_timesformer…txt, model_trainer.py:172-179);
+        # tee every rank-zero print into results/{tag}/log/train.log
+        self._log_fh = None
+        if log_dir and jax.process_index() == 0:
+            os.makedirs(log_dir, exist_ok=True)
+            self._log_fh = open(os.path.join(log_dir, "train.log"), "a")
         self.do_eval = do_eval
         self.do_test = do_test
         self.n_crops = n_crops
@@ -537,19 +544,31 @@ class VideoTransformerTrainer:
             }
             ocp.PyTreeCheckpointer().save(path, payload, force=True)
 
+        def _write_guarded():
+            try:
+                _write()
+            except BaseException as e:  # surface in wait_for_checkpoints
+                self._ckpt_error = e
+
         if block:
             _write()
             return
         self._ckpt_thread = threading.Thread(
-            target=_write, name=f"ckpt-write-{path}", daemon=False)
+            target=_write_guarded, name=f"ckpt-write-{path}", daemon=False)
         self._ckpt_thread.start()
 
     def wait_for_checkpoints(self):
-        """Join any in-flight checkpoint write (call before load/exit)."""
+        """Join any in-flight checkpoint write (call before load/exit).
+        Re-raises an exception from the background writer so a failed
+        last_checkpoint save is not silently discovered at resume time."""
         t = getattr(self, "_ckpt_thread", None)
         if t is not None and t.is_alive():
             t.join()
         self._ckpt_thread = None
+        err = getattr(self, "_ckpt_error", None)
+        if err is not None:
+            self._ckpt_error = None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def load_checkpoint(self, path):
         import orbax.checkpoint as ocp
@@ -569,7 +588,8 @@ class VideoTransformerTrainer:
         self.global_step = int(payload["global_step"])
         self.max_top1_acc = float(payload["max_top1_acc"])
 
-    @staticmethod
-    def print(*args, **kwargs):
+    def print(self, *args, **kwargs):
         if jax.process_index() == 0:
             print(*args, **kwargs, flush=True)
+            if self._log_fh is not None:
+                print(*args, **kwargs, file=self._log_fh, flush=True)
