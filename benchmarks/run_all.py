@@ -132,13 +132,16 @@ def bench_mvit_inference():
                       "clips_per_sec_per_chip": round(clips, 1)}), flush=True)
 
 
-def bench_maskfeat_step(batch_sizes=(2,)):
-    """KNOWN ISSUE (round 2): batch 8 of this step reproducibly crashes the
-    axon TPU worker (two independent attempts on healthy workers; batch 2 and
-    every other config are stable). Until the faulting kernel is isolated —
-    suspects are the flash-attention backward or fused-FFN backward at the
-    4x larger leading grid dim — the default sweep stays at batch 2; pass
-    batch_sizes=(2, 8) explicitly to reproduce."""
+def bench_maskfeat_step(batch_sizes=(2, 8)):
+    """Round-2 "batch-8 worker crash" RESOLVED (round 3): the fault was
+    bisected to the fused-FFN backward's 256-row block parametrization at
+    (D=768, hidden=3072) composed with >= 2 XLA attentions in one program —
+    not the flash-attention kernels and not kernel logic (standalone runs
+    and interpret-mode numerics always passed). kernels/fused_ffn_pallas.py
+    now uses 512-row backward blocks (BWD_ROWS), which also halves the
+    weight-grad accumulation rounds. Bisect harness with the minimal
+    reproducer: benchmarks/bisect_maskfeat.py (modes mini768 / model-ffn /
+    step-full). This sweep at batch 8 is the standing regression check."""
     from types import SimpleNamespace
 
     from videotransformer_tpu.parallel.mesh import shard_batch

@@ -26,6 +26,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Row-block sizes (module-level so the fault-bisect harness can sweep them;
+# see benchmarks/bisect_maskfeat.py).
+#
+# BWD_ROWS is 512 deliberately: with 256-row backward blocks, a program
+# containing two or more [XLA attention + fused-FFN(D=768, hidden=3072)]
+# pairs at M ≈ 12.5k rows reproducibly faults this environment's TPU worker
+# (round-2 "MaskFeat batch-8" crash). The same kernel at the same shapes
+# passes standalone and in every smaller composition, numerics are verified
+# in interpret mode, and the fault follows the 256-row parametrization (512
+# passes at both 25- and 50-step grids) — i.e. a Mosaic/XLA codegen defect
+# triggered by the composition, not kernel logic. 512-row blocks also halve
+# the weight-gradient accumulation rounds. Regression coverage:
+# benchmarks/bisect_maskfeat.py (mini768 / model-ffn / step-full) and the
+# batch-8 sweep in benchmarks/run_all.py.
+#
+# An h_pre-RECOMPUTE backward variant (no (M, 4D) residual in HBM) was
+# implemented and A/B-measured in round 3: 5 ms/step SLOWER on the batch-8
+# TimeSformer-B finetune step (103.3 vs 98.3 ms fwd+bwd) — the kernels are
+# compute-bound and Mosaic hides the residual's HBM round-trip behind the
+# MXU, so the extra recompute matmul is pure cost. The saved-h_pre form is
+# the winner and is what ships.
+FWD_ROWS = 256
+BWD_ROWS = 512
+
 
 def _erf(x):
     """fp32 erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 ~ fp32 eps).
@@ -94,7 +118,7 @@ def _fwd(x2d, ln_scale, ln_bias, w1, b1, w2, b2, ln_eps, with_hpre=False):
     M, D = x2d.shape
     hidden = w1.shape[1]
     d_out = w2.shape[1]  # may differ from D (MViT dim-expanding MLP)
-    ROWS = 256
+    ROWS = FWD_ROWS
     grid = (pl.cdiv(M, ROWS),)
     out_shape = jax.ShapeDtypeStruct((M, d_out), x2d.dtype)
     out_specs = pl.BlockSpec((ROWS, d_out), lambda i: (i, 0))
@@ -218,7 +242,7 @@ def _bwd(x2d, hpre, g2d, ln_scale, ln_bias, w1, w2, ln_eps):
     M, D = x2d.shape
     hidden = w1.shape[1]
     d_out = w2.shape[1]
-    ROWS = 256
+    ROWS = BWD_ROWS
     grid = (pl.cdiv(M, ROWS),)
     acc = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0))
     dx, dlns, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(

@@ -26,6 +26,15 @@ then three cheap pieces, none of which materializes an (N, N) matrix in HBM:
      (flash_attention_pallas._flash_bwd — p/ds live only in VMEM);
   3. hand-written LN + qkv-matmul backward (recomputes only the elementwise
      LN statistics).
+
+A whole-chain single-Pallas-kernel backward (proj + attention + LN/qkv in
+one grid=(B,) kernel with VMEM-resident weight-grad accumulators) was
+implemented and A/B-measured in round 3: 4 ms/step SLOWER on the batch-8
+TimeSformer-B finetune step (108.8 vs 104.7 ms fwd+bwd) — the per-sequence
+weight-gradient matmuls (contraction dim N=197, padded to 256) lose to
+XLA's single large-einsum formulation over the whole (B·N) axis, and the
+kernels the split path launches are already overlap-bound. The split form
+is the winner and is what ships.
 """
 
 import functools
