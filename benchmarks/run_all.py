@@ -205,30 +205,40 @@ def timesformer_fwd_flops(B, T=8, img=224, D=768, H=12, layers=12, P=None):
     return patch + layers * (temporal + spatial + ffn)
 
 
-def bench_finetune_step(batch_sizes=(8, 16, 32)):
+def bench_finetune_step(batch_sizes=(8, 16, 32), remat_from=32):
     """Full supervised train step (device augment + mixup + fwd/bwd + AdamW).
 
     B=8 mirrors the reference's per-GPU batch (demo/log…txt: bs8 x 8 GPUs);
     larger per-chip batches amortize dispatch and elementwise glue, so the
     per-chip throughput number a TPU user would actually run at is also
-    reported (the 16 GB HBM of a v5e holds TimeSformer-B at b32 without
-    remat)."""
+    reported. The fused kernels save per-layer backward residuals
+    (qkv/attn_out/h_pre, ~340 MB/layer at b32), so batches >= `remat_from`
+    run with per-block rematerialization (-remat) to fit the 16 GB HBM."""
     from types import SimpleNamespace
 
     from videotransformer_tpu.parallel.mesh import shard_batch
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
-    cfg = SimpleNamespace(
-        objective="supervised", arch="timesformer",
-        attention_type="divided_space_time", num_class=400, num_frames=8,
-        img_size=224, batch_size=8, optim_type="adamw", lr=5e-3,
-        lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6, weight_decay=0.05,
-        weight_decay_end=0.05, clip_grad=1.0, seed=0, mixup=True,
-        eval_metrics="finetune", layer_decay=1.0, use_fp16=True,
-        device_augment=True, data_statics="kinetics")
-    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    trainers = {}
+
+    def get_tr(remat):
+        if remat not in trainers:
+            cfg = SimpleNamespace(
+                objective="supervised", arch="timesformer",
+                attention_type="divided_space_time", num_class=400,
+                num_frames=8, img_size=224, batch_size=8, optim_type="adamw",
+                lr=5e-3, lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6,
+                weight_decay=0.05, weight_decay_end=0.05, clip_grad=1.0,
+                seed=0, mixup=True, eval_metrics="finetune", layer_decay=1.0,
+                use_fp16=True, device_augment=True, data_statics="kinetics",
+                remat=remat)
+            trainers[remat] = VideoTransformerTrainer(cfg, ckpt_dir=None)
+        return trainers[remat]
+
     rng = np.random.RandomState(0)
     for B in batch_sizes:
+        remat = B >= remat_from
+        tr = get_tr(remat)
         batch = shard_batch(tr.mesh, {
             "raw_video": (rng.rand(B, 8, 256, 342, 3) * 255).astype(np.uint8),
             "label": (np.arange(B) % 400).astype(np.int32)})
@@ -263,7 +273,8 @@ def bench_finetune_step(batch_sizes=(8, 16, 32)):
         achieved = step_tflops / (ms / 1000)
         print(json.dumps({
             "config": (f"timesformer_b_8f_224_finetune_step_b{B}"
-                       "_mixup_device_augment"),
+                       + ("_remat" if remat else "")
+                       + "_mixup_device_augment"),
             "ms_per_step": round(ms, 1),
             "clips_per_sec": round(B / (ms / 1000), 1),
             "train_tflops_per_sec": round(achieved, 1),

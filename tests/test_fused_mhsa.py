@@ -110,10 +110,11 @@ def test_fused_ffn_matches_reference(shape):
 
 
 
-@pytest.mark.parametrize("N,block", [(64, 8), (72, 9)])
+@pytest.mark.parametrize("N,block", [(64, 8), (72, 9), (256, 8), (252, 9)])
 def test_block_diag_matches_per_sequence(N, block):
     """Packed block-diagonal attention == independent per-sequence attention
-    (the divided-temporal packing), forward and gradients."""
+    (the divided-temporal packing), forward and gradients. The (256, 8) and
+    (252, 9) cases take the chunked score-tile path (_score_chunk > 0)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from videotransformer_tpu.kernels.fused_mhsa_pallas import (
@@ -160,3 +161,17 @@ def test_pack_group():
     assert _pack_group(1568, 9) == 56   # 504 <= 512
     assert _pack_group(7, 8) == 7
     assert _pack_group(13, 100) == 1    # nothing fits -> no packing
+    # the divided-temporal call site packs to 1024 rows (chunked scores)
+    assert _pack_group(1568, 8, max_rows=1024) == 112  # N=896 = 7*128
+    assert _pack_group(1568, 9, max_rows=1024) == 112  # N=1008 = 7*144
+
+
+def test_score_chunk():
+    from videotransformer_tpu.kernels.fused_mhsa_pallas import _score_chunk
+
+    assert _score_chunk(896, 8) == 128   # the batch-8 TimeSformer pack
+    assert _score_chunk(1008, 9) == 144  # the cls-token temporal layout
+    assert _score_chunk(448, 8) == 112
+    assert _score_chunk(64, 8) == 0      # chunk must be < N
+    assert _score_chunk(72, 9) == 0      # largest divisor < N is 36 < 64
+    assert _score_chunk(256, 8) == 128

@@ -22,10 +22,11 @@ Backward: split custom VJP with O(N·D) residuals. The forward kernel saves
 then three cheap pieces, none of which materializes an (N, N) matrix in HBM:
 
   1. projection grads as plain XLA matmuls on the saved ``attn_out``;
-  2. dq/dk/dv through the Pallas flash-attention backward kernel
-     (flash_attention_pallas._flash_bwd — p/ds live only in VMEM);
-  3. hand-written LN + qkv-matmul backward (recomputes only the elementwise
-     LN statistics).
+  2. one Pallas kernel computing dq/dk/dv (p/ds live only in VMEM) AND the
+     complete input gradient — d_xn = dqkv @ W_qkv^T, LayerNorm backward,
+     residual passthrough — so the fp32 d_xn never touches HBM;
+  3. the qkv WEIGHT grads as one large XLA einsum over (B*N) on the saved
+     qkv (xn recomputed elementwise, fused into the einsum producer).
 
 A whole-chain single-Pallas-kernel backward (proj + attention + LN/qkv in
 one grid=(B,) kernel with VMEM-resident weight-grad accumulators) was
@@ -35,6 +36,16 @@ weight-gradient matmuls (contraction dim N=197, padded to 256) lose to
 XLA's single large-einsum formulation over the whole (B·N) axis, and the
 kernels the split path launches are already overlap-bound. The split form
 is the winner and is what ships.
+
+A second round-3 variant — a layout-native whole-LAYER kernel pair for the
+divided spatial attention (grid=(B,), per-program (P, T, D) patch blocks
+folded frame-major in VMEM, droppath/residual/cls handling fused, full
+hand-written backward) — also lost its A/B: it removed ~12 ms/step of XLA
+transpose/elementwise glue but its in-kernel attention ran ~12 ms/step
+slower than this kernel (43.1 vs 30.5 ms of attention custom-calls in the
+step trace; net +0.6 ms wall), the VMEM working set forced a 100MB budget,
+and the padded frame-major rows cost Mosaic relayouts on every (P, t, D)
+slice. Deleted; this split form remains the winner.
 """
 
 import functools
@@ -55,19 +66,51 @@ def _block_diag_mask(n, block):
     return row == col
 
 
-def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False):
+def _score_chunk(n, block):
+    """Score-tile chunking for packed block-diagonal attention: the largest
+    multiple of `block` that divides n, is <= 160 rows, and is >= 64 (one
+    MXU tile of useful work); 0 when no such chunk exists (compute the full
+    (n, n) tile). Tokens only attend within their own length-`block`
+    diagonal block, so scores outside a chunk-aligned window are all masked:
+    computing (chunk, chunk) tiles per chunk drops score FLOPs from O(n^2)
+    to O(n*chunk). At the batch-8 TimeSformer-B step the full-tile
+    formulation (N=448, block=8) spent 98% of its score FLOPs on masked
+    entries — chunking recovers most of that."""
+    best = 0
+    c = block
+    while c <= 160:
+        if n % c == 0 and c < n:
+            best = c
+        c += block
+    return best if best >= 64 else 0
+
+
+def _neff(n, block_diag):
+    """Effective score-matmul width: the chunk size when chunked, n when
+    not (cost-model input)."""
+    if not block_diag:
+        return n
+    return _score_chunk(n, block_diag) or n
+
+
+def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
+                 block_diag=0):
     """Computed scoped-VMEM cap: stay at the 16MB default when everything
     fits (Mosaic pipelines best there — raising it at small N measured
     268 -> 248 clips/s), raise it only when the buffers genuinely need more
     (long sequences, fp32 inputs, saved-qkv outputs)."""
     weights = (D * 3 * D + D * D) * itemsize
     acts = 2 * N * D * itemsize * 2 + N * 3 * D * itemsize
-    scores = 3 * N * N * 4  # per-head fp32 s/p (+dp/ds in backward)
+    tile = (_score_chunk(N, block_diag) or N) if block_diag else N
+    scores = 3 * tile * tile * 4  # per-head fp32 s/p (+dp/ds in backward)
     need = weights + acts + scores
     if with_qkv:
         need += N * 4 * D * itemsize
     if bwd:
-        need += N * 3 * D * itemsize + N * N * 4
+        # dqkv + x/g rows, plus the in-kernel fp32 LN-backward temporaries
+        # (xf/xhat/d_xn/dxhat)
+        need += N * 3 * D * itemsize + 3 * tile * tile * 4
+        need += 3 * N * D * itemsize + 4 * N * D * 4
     need = int(need * 1.5)
     if need <= 16 * 1024 * 1024:
         return None
@@ -80,7 +123,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     x = x_ref[0]  # (N, D)
     N, D = x.shape
     hd = D // num_heads
-    mask = _block_diag_mask(N, block_diag) if block_diag else None
+    C = _score_chunk(N, block_diag) if block_diag else 0
+    mask = _block_diag_mask(C or N, block_diag) if block_diag else None
 
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
@@ -96,21 +140,30 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     if with_qkv:
         rest[0][0] = qkv  # saved for the split backward pass
 
-    outs = []
-    for h in range(num_heads):
-        q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, D + h * hd : D + (h + 1) * hd]
-        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+    def _sdpa(q, k, v):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (N, N)
+        ) * scale
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
-        outs.append(o.astype(x.dtype))
+        return jnp.dot(p.astype(x.dtype), v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, D + h * hd : D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        if C:
+            o = jnp.concatenate(
+                [_sdpa(q[c:c + C], k[c:c + C], v[c:c + C])
+                 for c in range(0, N, C)], axis=0)
+        else:
+            o = _sdpa(q, k, v)
+        outs.append(o)
     attn_out = jnp.concatenate(outs, axis=-1)  # (N, D)
     if with_qkv:
         rest[1][0] = attn_out  # saved for the projection backward
@@ -189,11 +242,12 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
              pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)))
             if with_qkv else pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))),
         compiler_params=_vmem_params(N, D, x.dtype.itemsize, num_heads,
-                                     with_qkv=with_qkv),
+                                     with_qkv=with_qkv, block_diag=block_diag),
         cost_estimate=pl.CostEstimate(
-            flops=B * (2 * N * D * 3 * D + 4 * N * N * D + 2 * N * D * D),
+            flops=B * (2 * N * D * 3 * D + 4 * N * _neff(N, block_diag) * D
+                       + 2 * N * D * D),
             bytes_accessed=(2 * B * N * D + D * 4 * D) * x.dtype.itemsize,
-            transcendentals=B * N * N * num_heads,
+            transcendentals=B * N * _neff(N, block_diag) * num_heads,
         ),
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
 
@@ -209,24 +263,41 @@ def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
 
 
-def _attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, scale,
-                     block_diag=0):
-    """d(qkv) of multi-head attention, directly in the packed (N, 3D) layout
-    of the saved qkv — no head-split/merge relayouts in HBM."""
+def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
+                     num_heads, scale, ln_eps, add_residual, block_diag=0):
+    """Backward of LN -> qkv -> attention in one kernel, on the packed
+    (N, 3D) layout of the saved qkv.
+
+    Produces d(qkv) (written to HBM for the XLA weight-grad einsums), the
+    COMPLETE input gradient dx (d_xn = dqkv @ W_qkv^T, LayerNorm backward,
+    and the residual passthrough all happen in VMEM — the (N, D) fp32 d_xn
+    never exists in HBM), and grid-accumulated dlns/dlnb partials. Folding
+    the input-grad chain in removed the per-layer XLA LN-backward fusions
+    and the fp32 d_xn round trip (~0.5 ms/layer on the batch-8 step); the
+    weight grads stay in XLA where the single large einsum over (B*N) wins
+    (see the whole-chain-backward A/B note in the module docstring)."""
+    i = pl.program_id(0)
+    if add_residual:
+        g_ref, lns_ref, wqkv_ref = maybe_g_lns_w[:3]
+        (dqkv_ref, dx_ref, dlns_ref, dlnb_ref,
+         dbqkv_ref) = maybe_g_lns_w[3:]
+    else:
+        g_ref = None
+        lns_ref, wqkv_ref = maybe_g_lns_w[:2]
+        (dqkv_ref, dx_ref, dlns_ref, dlnb_ref,
+         dbqkv_ref) = maybe_g_lns_w[2:]
     qkv = qkv_ref[0]  # (N, 3D)
     do = do_ref[0]    # (N, D)
     N, D3 = qkv.shape
     D = D3 // 3
     hd = D // num_heads
-    mask = _block_diag_mask(N, block_diag) if block_diag else None
-    for h in range(num_heads):
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, D + h * hd:D + (h + 1) * hd]
-        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
-        do_h = do[:, h * hd:(h + 1) * hd]
+    C = _score_chunk(N, block_diag) if block_diag else 0
+    mask = _block_diag_mask(C or N, block_diag) if block_diag else None
+
+    def _sdpa_bwd(q, k, v, do_h):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (N, N)
+        ) * scale
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -245,32 +316,107 @@ def _attn_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads, scale,
         dk = jax.lax.dot_general(  # ds^T q
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dqkv_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, D + h * hd:D + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * D + h * hd:2 * D + (h + 1) * hd] = (
-            dv.astype(dqkv_ref.dtype))
+        return dq, dk, dv
+
+    dqs, dks, dvs = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, D + h * hd:D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd:2 * D + (h + 1) * hd]
+        do_h = do[:, h * hd:(h + 1) * hd]
+        if C:
+            parts = [_sdpa_bwd(q[c:c + C], k[c:c + C], v[c:c + C],
+                               do_h[c:c + C]) for c in range(0, N, C)]
+            dq = jnp.concatenate([pt[0] for pt in parts], axis=0)
+            dk = jnp.concatenate([pt[1] for pt in parts], axis=0)
+            dv = jnp.concatenate([pt[2] for pt in parts], axis=0)
+        else:
+            dq, dk, dv = _sdpa_bwd(q, k, v, do_h)
+        dqs.append(dq.astype(qkv.dtype))
+        dks.append(dk.astype(qkv.dtype))
+        dvs.append(dv.astype(qkv.dtype))
+    dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (N, 3D)
+    dqkv_ref[0] = dqkv
+    dbqkv_blk = dqkv.astype(jnp.float32).sum(axis=0, keepdims=True)
+
+    # d_xn = dqkv @ W_qkv^T, then LayerNorm backward — all in VMEM
+    d_xn = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (N, D) fp32
+    xf = x_ref[0].astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mean) * rstd
+
+    dlns_blk = (d_xn * xhat).sum(axis=0, keepdims=True)
+    dlnb_blk = d_xn.sum(axis=0, keepdims=True)
+    dxhat = d_xn * lns_ref[:].astype(jnp.float32)
+    dx = rstd * (dxhat
+                 - dxhat.mean(axis=-1, keepdims=True)
+                 - xhat * (dxhat * xhat).mean(axis=-1, keepdims=True))
+    if g_ref is not None:  # residual passthrough (out = ... + x)
+        dx = dx + g_ref[0].astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dlns_ref[:] = dlns_blk
+        dlnb_ref[:] = dlnb_blk
+        dbqkv_ref[:] = dbqkv_blk
+
+    @pl.when(i > 0)
+    def _acc():
+        dlns_ref[:] += dlns_blk
+        dlnb_ref[:] += dlnb_blk
+        dbqkv_ref[:] += dbqkv_blk
 
 
-def _attn_bwd(qkv, do, num_heads, scale, block_diag=0):
+def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
+              add_residual, block_diag=0):
+    """dqkv + complete dx (+ dlns/dlnb partials) in one kernel; `g` is the
+    output gradient for the residual passthrough (None when the caller did
+    not add the residual)."""
     B, N, D3 = qkv.shape
+    D = D3 // 3
+    row = lambda: pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))
+    operands = [x, qkv, do]
+    in_specs = [row(), pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)), row()]
+    if add_residual:
+        operands.append(g)
+        in_specs.append(row())
+    operands += [lns, wqkv]
+    in_specs += [pl.BlockSpec((D,), lambda i: (0,)),
+                 pl.BlockSpec((D, D3), lambda i: (0, 0))]
     return pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads, scale=scale,
+                          ln_eps=ln_eps, add_residual=add_residual,
                           block_diag=block_diag),
-        out_shape=jax.ShapeDtypeStruct((B, N, D3), qkv.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N, D3 // 3), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
-        compiler_params=_vmem_params(N, D3 // 3, qkv.dtype.itemsize,
-                                     num_heads, bwd=True),
-        cost_estimate=pl.CostEstimate(
-            flops=10 * B * N * N * D3 // 3,
-            bytes_accessed=3 * B * N * D3 * qkv.dtype.itemsize,
-            transcendentals=B * N * N * num_heads,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D3), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D3), jnp.float32),
         ),
-    )(qkv, do)
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D3), lambda i: (0, 0)),
+        ),
+        compiler_params=_vmem_params(N, D, qkv.dtype.itemsize,
+                                     num_heads, bwd=True,
+                                     block_diag=block_diag),
+        cost_estimate=pl.CostEstimate(
+            flops=B * N * (10 * _neff(N, block_diag) + 2 * D3) * D3 // 3,
+            bytes_accessed=5 * B * N * D3 * qkv.dtype.itemsize,
+            transcendentals=B * N * _neff(N, block_diag) * num_heads,
+        ),
+    )(*operands)
 
 
 def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
@@ -296,37 +442,24 @@ def _vjp_bwd(num_heads, scale, ln_eps, add_residual, block_diag, res, g):
                          ).astype(wproj.dtype)
     do = jnp.einsum("bne,de->bnd", gf, wproj.astype(jnp.float32)
                     ).astype(x.dtype)
-    d_x_res = g if add_residual else None
 
-    d_qkv = _attn_bwd(qkv, do, num_heads, scale, block_diag=block_diag)
+    d_qkv, d_x, d_lns, d_lnb, d_bqkv = _attn_bwd(
+        x, qkv, do, g if add_residual else None, ln_scale, wqkv,
+        num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
+    d_lns = d_lns[0].astype(ln_scale.dtype)
+    d_lnb = d_lnb[0].astype(ln_scale.dtype)
+    d_bqkv = d_bqkv[0].astype(wqkv.dtype)
 
-    # recompute LN only (cheap, elementwise)
+    # weight grads stay in XLA: one large einsum over (B*N) beats
+    # per-program accumulation (module docstring A/B); xn is recomputed
+    # elementwise and fused into the einsum producer
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + ln_eps)
-    xhat = (xf - mean) * rstd
-    xn = (xhat * ln_scale.astype(jnp.float32)
-          + ln_bias.astype(jnp.float32)).astype(x.dtype)
-
-    # qkv projection backward (flax Dense semantics: y = xn @ W + b)
-    d_qkv_f = d_qkv.astype(jnp.float32)
-    B, N, D = x.shape
-    d_wqkv = jnp.einsum("bnd,bne->de", xn.astype(jnp.float32), d_qkv_f
+    xn = ((xf - mean) * jax.lax.rsqrt(var + ln_eps)
+          * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+    d_wqkv = jnp.einsum("bnd,bne->de", xn, d_qkv.astype(jnp.float32)
                         ).astype(wqkv.dtype)
-    d_bqkv = d_qkv_f.sum((0, 1)).astype(wqkv.dtype)
-    d_xn = jnp.einsum("bne,de->bnd", d_qkv_f, wqkv.astype(jnp.float32))
-
-    # LayerNorm backward
-    d_lns = (d_xn * xhat).sum((0, 1)).astype(ln_scale.dtype)
-    d_lnb = d_xn.sum((0, 1)).astype(ln_scale.dtype)
-    d_xhat = d_xn * ln_scale.astype(jnp.float32)
-    d_x = rstd * (d_xhat
-                  - d_xhat.mean(-1, keepdims=True)
-                  - xhat * (d_xhat * xhat).mean(-1, keepdims=True))
-    if d_x_res is not None:
-        d_x = d_x + d_x_res.astype(jnp.float32)
-    d_x = d_x.astype(x.dtype)
 
     return d_x, d_lns, d_lnb, d_wqkv, d_bqkv, d_wproj, d_bproj
 

@@ -262,8 +262,13 @@ class DividedTemporalAttention(nn.Module):
         # wins). Handles both plain length-t and cls-token (t+1)-length
         # sequence layouts; falls back to the module path on CPU /
         # attention-weight requests / attention dropout.
+        # max_rows=1024: with chunked score tiles (fused_mhsa_pallas.
+        # _score_chunk) the (N, N) score matrix never materializes, so
+        # bigger packs are pure win — fewer grid programs and larger qkv
+        # matmuls. At S=1568 seqs of t=8 this packs N=896 rows per program
+        # with exact 128-row score chunks.
         S, t_len, d_ = x.shape
-        G = _pack_group(S, t_len)
+        G = _pack_group(S, t_len, max_rows=1024)
         if (not return_attention and not self.is_initializing()
                 and self.attn_drop == 0.0 and G > 1
                 and vt_config.use_pallas_attention()):
