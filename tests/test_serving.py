@@ -58,6 +58,28 @@ def test_export_roundtrip_and_padding(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_export_serving_cli(tmp_path, monkeypatch):
+    """The export CLI writes a loadable artifact (tiny geometry via the
+    patched model builder; the real one is B/16)."""
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.serving import load_predictor
+    from videotransformer_tpu.tools import export_serving
+
+    monkeypatch.setattr(
+        export_serving, "build_model",
+        lambda arch, num_frames, attention_type=None: TimeSformer(
+            num_frames=num_frames, img_size=224, patch_size=16,
+            embed_dims=32, num_heads=2, num_transformer_layers=1,
+            attention_type="divided_space_time"))
+    out = str(tmp_path / "art")
+    export_serving.main([
+        "--out", out, "--num_class", "10", "--buckets", "2",
+        "--platforms", "cpu"])
+    pred = load_predictor(out)
+    logits = pred(np.zeros((1, 3, 8, 3, 224, 224), np.float32))
+    assert logits.shape == (1, 10)
+
+
 @pytest.mark.skipif(not os.path.isdir(DEMO_DIR), reason="no demo assets")
 def test_server_end_to_end():
     """POST two real clips concurrently through the HTTP front end; the
