@@ -66,9 +66,20 @@ def run_traced_steps(batch_size, steps, trace_dir):
     return wall_ms
 
 
+def base_name(name):
+    """Merge per-layer HLO instances: 'ffns_0.40' -> 'ffns_0'."""
+    root = name.rsplit(".", 1)
+    if len(root) == 2 and root[1].isdigit():
+        return root[0]
+    return name
+
+
 def categorize(name):
     n = name.lower()
-    if "custom-call" in n or "mosaic" in n or "tpu_custom_call" in n:
+    if ("custom-call" in n or "mosaic" in n or "tpu_custom_call" in n
+            or "_prenorm_mhsa" in n or "_mhsa_bwd" in n or "flash" in n
+            or n.startswith(("ffns_", "ffn_bwd", "temporal_pack",
+                             "blockdiag"))):
         return "pallas kernels"
     if n.startswith(("fusion", "loop_fusion", "input_fusion")):
         return "xla fusion (elementwise/glue)"
@@ -83,45 +94,53 @@ def categorize(name):
     return "other"
 
 
-def analyze(trace_dir, steps):
-    files = sorted(glob.glob(
-        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
-    if not files:
-        print("no xplane captured (relay may not support device tracing)")
-        return
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa: F401
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError:
-        print("tensorboard_plugin_profile converter unavailable")
-        return
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        files, "framework_op_stats", {"tqx": "out:csv;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    import csv
-    import io
+def analyze(trace_dir, steps, top=20):
+    """Parse the chrome-trace json directly.
 
-    rows = list(csv.DictReader(io.StringIO(data)))
+    The tensorboard_plugin_profile converter is broken in this environment
+    (protobuf gencode mismatch), but the profiler also writes a chrome trace
+    (*.trace.json.gz) whose "XLA Ops" thread carries one event per executed
+    HLO with its device duration — that is all we need for a per-op
+    breakdown. Wrapper events (jit_step, bare-number step markers) nest the
+    real ops, so summing them would double count; drop them.
+    """
+    import json
+
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    if not files:
+        print("no trace.json.gz captured")
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # map (pid, tid) -> thread name; find the device "XLA Ops" thread(s)
+    tnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
+    xla_tids = {k for k, v in tnames.items() if v == "XLA Ops"}
     by_cat = defaultdict(float)
     by_op = defaultdict(float)
     total = 0.0
-    for r in rows:
-        if r.get("host_or_device", "Device").lower().startswith("host"):
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in xla_tids:
             continue
-        t = float(r.get("total_self_time_in_us", r.get("self_time_us", 0)) or 0)
-        name = r.get("type", r.get("operation", ""))
-        by_cat[categorize(name)] += t
-        by_op[name] += t
-        total += t
-    per_step = total / steps / 1000
+        name = e.get("name", "")
+        if name.startswith("jit_") or name.replace(".", "").isdigit():
+            continue  # program wrapper / step marker: nests the real ops
+        dur_ms = e.get("dur", 0) / 1000.0
+        by_cat[categorize(name)] += dur_ms
+        by_op[base_name(name)] += dur_ms
+        total += dur_ms
+    per_step = total / steps
     print(f"device total: {per_step:.1f} ms/step")
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:34s} {t / steps / 1000:7.2f} ms/step "
+        print(f"  {cat:34s} {t / steps:7.2f} ms/step "
               f"({100 * t / total:4.1f}%)")
     print("top ops:")
-    for name, t in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {name[:60]:60s} {t / steps / 1000:7.2f} ms/step")
+    for name, t in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {name[:76]:76s} {t / steps:7.2f} ms/step")
 
 
 def main():
