@@ -106,6 +106,15 @@ def parse_args(argv=None):
     parser.add_argument("-remat", type=bool, default=False,
                         help="activation rematerialization (jax.checkpoint) "
                              "per transformer block: less HBM, ~30%% more step time")
+    parser.add_argument("-tp", type=int, default=1,
+                        help="tensor-parallel mesh axis size (parallel/tp.py: "
+                             "Megatron column/row shardings; must divide the "
+                             "head count)")
+    parser.add_argument("-sp", type=int, default=1,
+                        help="sequence-parallel mesh axis size (parallel/"
+                             "sp.py: tokens sharded across chips; divided "
+                             "space-time only — must divide num_frames and "
+                             "the patch count)")
 
     return parser.parse_args(argv)
 
@@ -157,8 +166,10 @@ def single_run(argv=None):
     from videotransformer_tpu.training.data_module import KineticsDataModule
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
-    # linear learning rate scale over all chips (model_pretrain.py:158-164)
-    num_devices = jax.device_count()
+    # linear learning rate scale over the DATA-parallel chips
+    # (model_pretrain.py:158-164); seq/tensor-parallel chips share one batch
+    # shard, so they don't scale the effective batch
+    num_devices = jax.device_count() // (args.sp * args.tp)
     effective_batch_size = args.batch_size * num_devices
     args.lr = args.lr * effective_batch_size / 256
 

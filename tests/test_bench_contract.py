@@ -30,7 +30,7 @@ def test_dryrun_multichip_driver_contract():
          "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
         env=env, cwd=repo, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dryrun_multichip(8):" in proc.stdout and "OK" in proc.stdout, (
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout, (
         proc.stdout, proc.stderr[-2000:])
 
 

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from videotransformer_tpu import config as vt_config
+from videotransformer_tpu.parallel import sp as vt_sp
 from videotransformer_tpu.ops import initializers as init
 
 Dtype = Any
@@ -254,6 +255,9 @@ class DividedTemporalAttention(nn.Module):
             cls_rep = jnp.broadcast_to(cls_token[:, None, :, :], (b, p, 1, d))
             cls_rep = cls_rep.reshape(b * p, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
+        # sequence parallel: each device owns complete length-t temporal rows
+        # (b over data, p over seq) — see parallel/sp.py
+        x = vt_sp.constrain_rows(x)
 
         # TPU: pack G consecutive length-t sequences into one fused
         # prenorm-MHSA call with a block-diagonal mask — the t x t attentions
@@ -278,16 +282,27 @@ class DividedTemporalAttention(nn.Module):
             np_ = self.norm.variables["params"]
             ap = self.attn.variables["params"]
             head_dim = self.embed_dims // self.num_heads
-            packed = x.reshape(S // G, G * t_len, d_)
-            attn_out = fused_prenorm_mhsa(
-                packed.astype(self.dtype),
-                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
-                ap["qkv"]["kernel"].astype(self.dtype),
-                ap["qkv"]["bias"].astype(self.dtype),
-                ap["proj"]["kernel"].astype(self.dtype),
-                ap["proj"]["bias"].astype(self.dtype),
-                self.num_heads, head_dim**-0.5, 1e-5, False, t_len)
-            attn_out = attn_out.reshape(S, t_len, d_)
+            num_heads, dtype = self.num_heads, self.dtype
+
+            def _packed_mhsa(rows, lns, lnb, wqkv, bqkv, wproj, bproj):
+                # row-polymorphic: under sequence parallelism this runs per
+                # device shard (jax.shard_map), so the pack group is derived
+                # from the LOCAL row count
+                s_l = rows.shape[0]
+                g_l = _pack_group(s_l, t_len, max_rows=1024)
+                packed = rows.reshape(s_l // g_l, g_l * t_len, d_)
+                out = fused_prenorm_mhsa(
+                    packed, lns, lnb, wqkv, bqkv, wproj, bproj,
+                    num_heads, head_dim**-0.5, 1e-5, False, t_len)
+                return out.reshape(s_l, t_len, d_)
+
+            attn_out = vt_sp.row_sharded_call(
+                _packed_mhsa, x.astype(dtype),
+                np_["scale"].astype(dtype), np_["bias"].astype(dtype),
+                ap["qkv"]["kernel"].astype(dtype),
+                ap["qkv"]["bias"].astype(dtype),
+                ap["proj"]["kernel"].astype(dtype),
+                ap["proj"]["bias"].astype(dtype))
         else:
             xn = self.norm(x)
             attn_out, attn_w = self.attn(
@@ -347,14 +362,22 @@ class DividedSpatialAttention(nn.Module):
             np_ = self.norm.variables["params"]
             ap = self.attn.variables["params"]
             head_dim = self.embed_dims // self.num_heads
-            return fused_prenorm_mhsa(
-                x.astype(self.dtype),
-                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
-                ap["qkv"]["kernel"].astype(self.dtype),
-                ap["qkv"]["bias"].astype(self.dtype),
-                ap["proj"]["kernel"].astype(self.dtype),
-                ap["proj"]["bias"].astype(self.dtype),
-                self.num_heads, head_dim**-0.5, 1e-5, False), None
+            num_heads, dtype = self.num_heads, self.dtype
+
+            def _mhsa(rows, lns, lnb, wqkv, bqkv, wproj, bproj):
+                # row-polymorphic over the leading (b·t) axis so it can run
+                # per device shard under sequence parallelism (shard_map)
+                return fused_prenorm_mhsa(
+                    rows, lns, lnb, wqkv, bqkv, wproj, bproj,
+                    num_heads, head_dim**-0.5, 1e-5, False)
+
+            return vt_sp.row_sharded_call(
+                _mhsa, x.astype(dtype),
+                np_["scale"].astype(dtype), np_["bias"].astype(dtype),
+                ap["qkv"]["kernel"].astype(dtype),
+                ap["qkv"]["bias"].astype(dtype),
+                ap["proj"]["kernel"].astype(dtype),
+                ap["proj"]["bias"].astype(dtype)), None
         xn = self.norm(x)
         return self.attn(xn, deterministic=deterministic,
                          need_weights=return_attention)
@@ -375,6 +398,10 @@ class DividedSpatialAttention(nn.Module):
             cls_rep = jnp.broadcast_to(cls_token[:, None, :, :], (b, t, 1, d))
             cls_rep = cls_rep.reshape(b * t, 1, d)
             x = jnp.concatenate([cls_rep, x], axis=1)
+        # sequence parallel: each device owns complete length-p spatial rows
+        # (b over data, t over seq); the patches->frames transition from the
+        # temporal layout becomes one all-to-all over the seq axis
+        x = vt_sp.constrain_rows(x)
 
         attn_out, attn_w = self._prenorm_mhsa(x, deterministic, return_attention)
         if return_attention:
@@ -491,17 +518,30 @@ class FFN(nn.Module):
         )
         if use_fused:
             from videotransformer_tpu.kernels.fused_ffn_pallas import (
-                fused_prenorm_ffn)
+                _reference_jnp, fused_prenorm_ffn)
 
             np_ = self.norm.variables["params"]
             p1 = self.layers[0].variables["params"]
             p2 = self.layers[1].variables["params"]
-            x = fused_prenorm_ffn(
+
+            def _jnp_row_ffn(xx, *w):
+                # the peeled cls row under sequence parallelism: one token of
+                # a per-token op through the kernel's jnp twin
+                b_, n_, d_ = xx.shape
+                return _reference_jnp(
+                    xx.reshape(b_ * n_, d_), *w, 1e-5).reshape(b_, n_, d_)
+
+            # token_sharded_call: per-shard kernel under sequence parallelism
+            # (rows are independent); plain call otherwise
+            x = vt_sp.token_sharded_call(
+                fused_prenorm_ffn,
                 x.astype(self.dtype),
                 np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
                 p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
-                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype))
+                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
+                head_fn=_jnp_row_ffn)
         else:
+            x = vt_sp.constrain_tokens(x)
             x = self.norm(x)
             for i, layer in enumerate(self.layers):
                 x = layer(x)

@@ -20,15 +20,21 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+def create_mesh(data: int = -1, model: int = 1, seq: int = 1,
+                devices=None) -> Mesh:
+    """Build a (data, seq, model) mesh. data=-1 uses all remaining devices.
+
+    ``seq`` is the sequence-parallel axis (parallel/sp.py): adjacent devices
+    share a clip's tokens, so the per-layer all-to-alls between the divided
+    temporal/spatial layouts ride the fastest ICI hops; ``data`` varies
+    slowest, as gradient psums tolerate the longer path."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
-    assert data * model == n, (data, model, n)
-    return Mesh(devices.reshape(data, model), ("data", "model"))
+        assert n % (model * seq) == 0, (n, model, seq)
+        data = n // (model * seq)
+    assert data * model * seq == n, (data, seq, model, n)
+    return Mesh(devices.reshape(data, seq, model), ("data", "seq", "model"))
 
 
 def shard_batch(mesh: Mesh, tree):

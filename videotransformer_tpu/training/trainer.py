@@ -106,7 +106,20 @@ class VideoTransformerTrainer:
         self.do_eval = do_eval
         self.do_test = do_test
         self.n_crops = n_crops
-        self.mesh = mesh if mesh is not None else create_mesh()
+        if mesh is None:
+            mesh = create_mesh(seq=getattr(configs, "sp", 1),
+                               model=getattr(configs, "tp", 1))
+        self.mesh = mesh
+        # sequence parallelism (parallel/sp.py): activation-sharding state for
+        # the divided-attention blocks, keyed off the mesh's seq axis. The
+        # state is module-global (flax modules are pure), so the most recently
+        # constructed trainer owns it — a seq=1 trainer explicitly clears it
+        from videotransformer_tpu.parallel import sp as _sp
+
+        if dict(self.mesh.shape).get("seq", 1) > 1:
+            _sp.enable_sequence_parallel(self.mesh)
+        else:
+            _sp.disable_sequence_parallel()
         self.objective = configs.objective
         self.supervised = configs.objective == "supervised"
         self.linear_prob = (
