@@ -264,7 +264,8 @@ def bench_finetune_step(batch_sizes=(8, 16, 32), remat_from=32):
         except Exception as e:  # e.g. HBM OOM at the largest batch
             print(json.dumps({
                 "config": f"timesformer_b_8f_224_finetune_step_b{B}",
-                "error": type(e).__name__}), flush=True)
+                "error": type(e).__name__,
+                "message": str(e)[:300]}), flush=True)
             continue
         del params, opt_state
         # train MFU: fwd+bwd = 3x forward model FLOPs (standard convention),

@@ -112,3 +112,20 @@ def test_pipeline_gradients_match_sequential():
     np.testing.assert_allclose(
         np.asarray(g_pp[1]).reshape(-1),
         np.asarray(g_seq[1]).reshape(-1), rtol=1e-4, atol=1e-6)
+
+
+def test_pipeline_composes_with_data_parallel():
+    """dp2 x pp4 (8 devices): each data column pipelines its own batch
+    shard; output equals the plain forward."""
+    model = _model()
+    rng = np.random.RandomState(2)
+    video = jnp.asarray(rng.rand(4, 2, 3, 32, 32), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), video)["params"]
+    ref = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, video)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("pipe", "data"))
+    out = pp.pipelined_forward_features(
+        model, params, video, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

@@ -70,7 +70,7 @@ def shard_stacked_params(mesh, stacked, axis="pipe"):
 
 
 def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
-                    axis="pipe"):
+                    axis="pipe", data_axis=None):
     """Run the block stack as a GPipe pipeline over ``mesh[axis]``.
 
     block_apply: (layer_params, x) -> x — one transformer block.
@@ -79,11 +79,22 @@ def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
     microbatches: (M, mb, N, D) — M microbatches of the token activations.
     Returns (M, mb, N, D), numerically identical to applying the L blocks
     sequentially to each microbatch.
+
+    Composes with data parallelism: when ``data_axis`` names another mesh
+    axis (or one named "data" exists), the microbatch row dim is sharded
+    over it — each data column of the mesh pipelines its own batch shard,
+    and the ppermute/psum stay scoped to the pipe axis.
     """
     p_size = dict(mesh.shape)[axis]
     M = microbatches.shape[0]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     assert n_layers % p_size == 0, (n_layers, p_size)
+    if data_axis is None and "data" in mesh.axis_names:
+        data_axis = "data"
+    if data_axis is not None and dict(mesh.shape)[data_axis] > 1:
+        x_spec = P(None, data_axis, *([None] * (microbatches.ndim - 2)))
+    else:
+        x_spec = P()
 
     def per_device(local_params, mbs):
         # local_params leaves: (L/P, ...); mbs: (M, mb, N, D) (replicated)
@@ -124,7 +135,7 @@ def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
         lambda x: P(axis, *([None] * (x.ndim - 1))), stacked_params)
     return jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(spec_p, P()), out_specs=P(),
+        in_specs=(spec_p, x_spec), out_specs=x_spec,
         check_vma=False)(stacked_params, microbatches)
 
 
