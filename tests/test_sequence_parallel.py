@@ -10,7 +10,6 @@ TPU pod executes) are checked in interpret mode on the CPU mesh.
 from types import SimpleNamespace
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

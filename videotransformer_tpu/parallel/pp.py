@@ -37,7 +37,6 @@ data/tensor axes in principle (stack the mesh), verified here on a
 pipe-only mesh (tests/test_pipeline_parallel.py).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
