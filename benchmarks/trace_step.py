@@ -28,24 +28,44 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def run_traced_steps(batch_size, steps, trace_dir):
+def run_traced_steps(batch_size, steps, trace_dir, config="finetune"):
     from videotransformer_tpu.parallel.mesh import shard_batch
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
-    cfg = SimpleNamespace(
-        objective="supervised", arch="timesformer",
-        attention_type="divided_space_time", num_class=400, num_frames=8,
-        img_size=224, batch_size=batch_size, optim_type="adamw", lr=5e-3,
-        lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6, weight_decay=0.05,
-        weight_decay_end=0.05, clip_grad=1.0, seed=0, mixup=True,
-        eval_metrics="finetune", layer_decay=1.0, use_fp16=True,
-        device_augment=True, data_statics="kinetics")
-    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
     rng = np.random.RandomState(0)
-    batch = shard_batch(tr.mesh, {
-        "raw_video": (rng.rand(batch_size, 8, 256, 342, 3) * 255
-                      ).astype(np.uint8),
-        "label": (np.arange(batch_size) % 400).astype(np.int32)})
+    if config == "maskfeat":
+        cfg = SimpleNamespace(
+            objective="mim", arch="mvit", attention_type="divided_space_time",
+            num_class=400, num_frames=16, img_size=224,
+            batch_size=batch_size, optim_type="adamw", lr=8e-4,
+            lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6,
+            weight_decay=0.05, weight_decay_end=0.05, clip_grad=0.0, seed=0,
+            mixup=False, eval_metrics="finetune", layer_decay=0.75,
+            use_fp16=True)
+        tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+        batch = shard_batch(tr.mesh, {
+            "video": rng.rand(batch_size, 16, 3, 224, 224).astype(np.float32),
+            "raw": (rng.rand(batch_size, 16, 3, 224, 224) * 255
+                    ).astype(np.float32),
+            "mask": (rng.rand(batch_size, 8, 14, 14) > 0.6).astype(np.int32),
+            "cube_marker": np.tile(
+                np.array([[[1, 2], [5, 1]] + [[0, 0]] * 6], np.int32),
+                (batch_size, 1, 1)),
+            "cube_count": np.full((batch_size,), 2, np.int32)})
+    else:
+        cfg = SimpleNamespace(
+            objective="supervised", arch="timesformer",
+            attention_type="divided_space_time", num_class=400, num_frames=8,
+            img_size=224, batch_size=batch_size, optim_type="adamw", lr=5e-3,
+            lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6,
+            weight_decay=0.05, weight_decay_end=0.05, clip_grad=1.0, seed=0,
+            mixup=True, eval_metrics="finetune", layer_decay=1.0,
+            use_fp16=True, device_augment=True, data_statics="kinetics")
+        tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+        batch = shard_batch(tr.mesh, {
+            "raw_video": (rng.rand(batch_size, 8, 256, 342, 3) * 255
+                          ).astype(np.uint8),
+            "label": (np.arange(batch_size) % 400).astype(np.int32)})
 
     def step(s):
         k = jax.random.fold_in(tr.base_key, s)
@@ -149,10 +169,13 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--trace_dir", default="/tmp/vt_trace")
     ap.add_argument("--analyze_only", action="store_true")
+    ap.add_argument("--config", default="finetune",
+                    choices=("finetune", "maskfeat"))
     args = ap.parse_args()
     if not args.analyze_only:
         os.makedirs(args.trace_dir, exist_ok=True)
-        run_traced_steps(args.batch, args.steps, args.trace_dir)
+        run_traced_steps(args.batch, args.steps, args.trace_dir,
+                         config=args.config)
     analyze(args.trace_dir, args.steps)
 
 
