@@ -58,6 +58,36 @@ def test_export_roundtrip_and_padding(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_export_raw_input_mode(tmp_path):
+    """Raw-uint8 artifact: the eval preprocessing (resize + ThreeCrop +
+    normalize) runs inside the exported program; its logits must match
+    preprocessing on the outside + the clips-mode predict."""
+    from videotransformer_tpu.data.device_augment import eval_preprocess_batch
+    from videotransformer_tpu.serving import (
+        export_predictor, load_predictor, make_predict_fn)
+
+    model, head, params, head_params = _tiny_model()
+    path = str(tmp_path / "raw_artifact")
+    export_predictor(path, model, head, params, head_params,
+                     num_frames=8, num_class=10, buckets=(2,),
+                     platforms=("cpu",), input_mode="raw", raw_hw=(256, 342))
+    pred = load_predictor(path)
+    assert pred.input_mode == "raw"
+    assert pred.input_dtype == np.uint8
+    assert pred.input_shape == (8, 256, 342, 3)
+
+    rng = np.random.RandomState(1)
+    raw = (rng.rand(2, 8, 256, 342, 3) * 255).astype(np.uint8)
+    got = pred(raw)
+
+    clips = eval_preprocess_batch(jnp.asarray(raw), img_size=224,
+                                  three_crop=True)  # (B*3, T, C, S, S)
+    clips = clips.reshape(2, 3, *clips.shape[1:])
+    want = make_predict_fn(model, head, 10, 3)(params, head_params, clips)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_export_serving_cli(tmp_path, monkeypatch):
     """The export CLI writes a loadable artifact (tiny geometry via the
     patched model builder; the real one is B/16)."""

@@ -123,11 +123,14 @@ class InferenceServer:
                         fut.set_exception(e)
 
     def submit(self, clip) -> Future:
-        """clip (n_crops, T, C, H, W) float32 -> Future of (num_class,)
-        logits."""
+        """clip -> Future of (num_class,) logits. The clip layout follows
+        the predictor's input mode: preprocessed (n_crops, T, C, S, S)
+        float32, or the decoder's canonical (T, H, W, 3) uint8 for
+        raw-input artifacts (preprocessing runs inside the device
+        program)."""
+        dtype = getattr(self.predictor, "input_dtype", np.float32)
         fut = Future()
-        self._queue.put((np.asarray(clip, np.float32), fut,
-                         time.perf_counter()))
+        self._queue.put((np.asarray(clip, dtype), fut, time.perf_counter()))
         return fut
 
     # ---- host side -------------------------------------------------------
@@ -224,9 +227,13 @@ def main():
     p.add_argument("--num_class", type=int, default=400)
     p.add_argument("--frame_interval", type=int, default=32)
     p.add_argument("--batch_window_ms", type=float, default=5.0)
+    p.add_argument("--cache_dir", default=None,
+                   help="persistent XLA compile cache (restart skips the "
+                        "per-bucket warmup compiles); defaults to "
+                        "<export_dir>/jax_cache when present")
     args = p.parse_args()
 
-    predictor = load_predictor(args.export_dir)
+    predictor = load_predictor(args.export_dir, cache_dir=args.cache_dir)
     predictor.warmup()
     with open(os.path.join(ASSETS_DIR,
                            f"k{args.num_class}_classmap.json")) as f:
