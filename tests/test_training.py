@@ -262,6 +262,9 @@ def test_checkpoint_roundtrip(monkeypatch, tmp_path):
     tr.epoch = 3
     tr.global_step = 17
     tr.save_checkpoint(str(tmp_path / "ck"))
+    # saves are asynchronous by design; join the writer before loading
+    # (flaked under a loaded host when the read raced the write)
+    tr.wait_for_checkpoints()
 
     tr2 = VideoTransformerTrainer(cfg, ckpt_dir=None)
     tr2.load_checkpoint(str(tmp_path / "ck"))
