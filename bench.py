@@ -53,7 +53,11 @@ def main():
     # axon relay platform block_until_ready can return before execution)
     np.asarray(infer_scan(params, head_params, videos))
 
-    reps = 5
+    # steady-state throughput: enough pipelined reps that the single leading
+    # relay round-trip amortizes away (5 reps measured ~314 clips/s, 10 reps
+    # ~326 against a 340 device-bound asymptote; batch 16 is NOT better —
+    # 2.95 ms/clip at batch 8 is already ~0.9 of the forward roofline)
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = infer_scan(params, head_params, videos)
