@@ -134,8 +134,20 @@ class MultiScaleAttention(nn.Module):
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=init.trunc_normal_init(std=0.02),
             bias_init=init.zeros_init, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # split by LANE slices rather than the torch-style
+        # reshape(B,N,3,H,hd).transpose(2,0,3,1,4): the 5-D transpose is a
+        # full relayout of the (B,N,3C) tensor (1.5 ms/call at stage 0 of the
+        # batch-8 MaskFeat step); slicing keeps the feature dim minor and the
+        # per-head transpose is free for the H=1 stage-0 blocks
+        C_ = self.dim
+
+        def head_split(t):
+            return t.reshape(B, N, self.num_heads, head_dim
+                             ).transpose(0, 2, 1, 3)
+
+        q = head_split(qkv[..., :C_])
+        k = head_split(qkv[..., C_:2 * C_])
+        v = head_split(qkv[..., 2 * C_:])
 
         has_q_pool = len(self.kernel_q) > 0 and int(np.prod(self.kernel_q)) > 0
         has_kv_pool = len(self.kernel_kv) > 0 and int(np.prod(self.kernel_kv)) > 0
