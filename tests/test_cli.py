@@ -144,3 +144,43 @@ def test_single_run_device_augment_and_eval(tmp_path, monkeypatch):
     assert trainer.global_step == 2
     assert trainer.val_meter.total == 4   # one raw clip per sample
     assert trainer.test_meter.total == 4  # 3 device crops averaged per clip
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_single_run_sequence_parallel(tmp_path, monkeypatch):
+    """-sp 2 end to end through the CLI: dp4 x sp2 mesh over the 8 virtual
+    devices, train + val + test with the sequence-parallel activation
+    shardings live (parallel/sp.py)."""
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.parallel import sp as vt_sp
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    def tiny_build(configs):
+        return TimeSformer(
+            num_frames=configs.num_frames, img_size=configs.img_size,
+            patch_size=16, embed_dims=32, num_heads=4,
+            num_transformer_layers=2,
+            attention_type=configs.attention_type)
+
+    monkeypatch.setattr(trainer_mod, "build_model", tiny_build)
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(8)))
+
+    import model_pretrain
+
+    argv = [
+        "-epoch", "1", "-batch_size", "4", "-num_workers", "1",
+        "-num_class", "400", "-num_frames", "2", "-frame_interval", "4",
+        "-img_size", "32", "-objective", "supervised", "-arch", "timesformer",
+        "-lr", "0.01", "-warmup_epochs", "1", "-root_dir", str(tmp_path),
+        "-train_data_path", str(ann), "-val_data_path", str(ann),
+        "-sp", "2", "-log_interval", "1",
+    ]
+    trainer = model_pretrain.single_run(argv)
+    assert dict(trainer.mesh.shape) == {"data": 4, "seq": 2, "model": 1}
+    assert vt_sp.active()
+    assert trainer.global_step == 2  # 8 samples / batch 4
+    assert trainer.val_meter.total == 8
+    assert 0.0 <= trainer.val_meter.compute() <= 1.0
+    vt_sp.disable_sequence_parallel()
