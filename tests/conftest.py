@@ -116,3 +116,17 @@ def install_reference_stubs():
 
 
 install_reference_stubs()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_sequence_parallel_state():
+    """Sequence-parallel activation sharding is module-global state (set by
+    trainers/tests); guarantee a failing test can't leak an sp-enabled mesh
+    into every later test."""
+    yield
+    from videotransformer_tpu.parallel import sp
+
+    sp.disable_sequence_parallel()

@@ -114,6 +114,26 @@ def test_pipeline_gradients_match_sequential():
         np.asarray(g_seq[1]).reshape(-1), rtol=1e-4, atol=1e-6)
 
 
+def test_pipeline_vivit_divided_matches_sequential():
+    """ViViT's tubelet embedding halves the effective frame count the blocks
+    see (eff_frames = num_frames // tube_size); the pipeline block must be
+    built with THAT, not num_frames — a mismatch reshapes to a valid-but-
+    wrong temporal layout and diverges silently."""
+    from videotransformer_tpu.models import ViViT
+
+    model = ViViT(num_frames=4, img_size=32, patch_size=16, tube_size=2,
+                  embed_dims=32, num_heads=4, num_transformer_layers=4,
+                  attention_type="divided_space_time", drop_path_rate=0.0)
+    rng = np.random.RandomState(3)
+    video = jnp.asarray(rng.rand(4, 4, 3, 32, 32), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), video)["params"]
+    ref = jax.jit(lambda p, v: model.apply({"params": p}, v))(params, video)
+    out = pp.pipelined_forward_features(
+        model, params, video, _pipe_mesh(4), microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_pipeline_composes_with_data_parallel():
     """dp2 x pp4 (8 devices): each data column pipelines its own batch
     shard; output equals the plain forward."""

@@ -171,3 +171,39 @@ def test_server_end_to_end():
         assert json.loads(conn.getresponse().read())["ok"]
     finally:
         server.stop()
+
+
+def test_server_raw_mode_http(tmp_path):
+    """The HTTP front end with a raw-input artifact: preprocess_bytes must
+    decode to the canonical uint8 clip (NOT the host crop stack) and the
+    exported program must accept it — regression for the raw-mode /predict
+    path, which previously always host-preprocessed to f32 crops."""
+    from videotransformer_tpu.serving import (
+        InferenceServer, export_predictor, load_predictor)
+
+    model, head, params, head_params = _tiny_model()
+    path = str(tmp_path / "raw_artifact")
+    export_predictor(path, model, head, params, head_params,
+                     num_frames=8, num_class=10, buckets=(1, 2),
+                     platforms=("cpu",), input_mode="raw", raw_hw=(64, 86))
+    pred = load_predictor(path)
+    server = InferenceServer(pred, num_frames=8, frame_interval=5,
+                             img_size=224, max_batch=2,
+                             batch_window_ms=50.0)
+    port = server.serve(port=0)
+    try:
+        mp4 = sorted(f for f in os.listdir(DEMO_DIR)
+                     if f.endswith(".mp4"))[0]
+        body = open(os.path.join(DEMO_DIR, mp4), "rb").read()
+
+        clip = server.preprocess_bytes(body)
+        assert clip.dtype == np.uint8 and clip.shape == (8, 64, 86, 3)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        out = json.loads(resp.read())
+        assert len(out["top5"]) == 5
+    finally:
+        server.stop()

@@ -77,6 +77,28 @@ def load_annotations(ann_file, num_class, num_samples_per_cls, anno_pth=None):
     return dataset
 
 
+def canonicalize_raw_clip(video, canonical_hw=(256, 342)):
+    """Fixed-shape uint8 clip for the device-augment/raw-serving paths:
+    center-crop/pad the short-edge-resized decode to (T, ch, cw, C)
+    (lossless for the standard 256p Kinetics release). Shared by the
+    dataset raw_clips mode and the serving raw-input preprocessing."""
+    ch, cw = canonical_hw
+    t, h, w, c = video.shape
+    if w >= cw:
+        x0 = (w - cw) // 2
+        video = video[:, :ch, x0 : x0 + cw]
+    else:
+        pad = np.zeros((t, min(h, ch), cw, c), np.uint8)
+        x0 = (cw - w) // 2
+        pad[:, :, x0 : x0 + w] = video[:, :ch]
+        video = pad
+    if video.shape[1] < ch:
+        pad = np.zeros((t, ch, cw, c), np.uint8)
+        pad[:, : video.shape[1]] = video
+        video = pad
+    return np.ascontiguousarray(video)
+
+
 class Kinetics:
     """Kinetics video dataset (reference dataset.py:122-208).
 
@@ -156,23 +178,8 @@ class Kinetics:
                 index = random.randint(0, len(self.data) - 1)
 
         if self.raw_clips:
-            # fixed-shape uint8 clip: center-crop/pad width to canonical
-            # (lossless for the standard 256p Kinetics release)
-            ch, cw = self.canonical_hw
-            t, h, w, c = video.shape
-            if w >= cw:
-                x0 = (w - cw) // 2
-                video = video[:, :ch, x0 : x0 + cw]
-            else:
-                pad = np.zeros((t, min(h, ch), cw, c), np.uint8)
-                x0 = (cw - w) // 2
-                pad[:, :, x0 : x0 + w] = video[:, :ch]
-                video = pad
-            if video.shape[1] < ch:
-                pad = np.zeros((t, ch, cw, c), np.uint8)
-                pad[:, : video.shape[1]] = video
-                video = pad
-            return np.ascontiguousarray(video), self.data[index]["label"]
+            return (canonicalize_raw_clip(video, self.canonical_hw),
+                    self.data[index]["label"])
 
         # (T, H, W, C) -> (T, C, H, W), matching the reference layout
         video = np.ascontiguousarray(video.transpose(0, 3, 1, 2)).astype(np.float32)

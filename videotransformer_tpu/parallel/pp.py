@@ -152,12 +152,18 @@ def pipelined_forward_features(model, params, video, mesh, microbatches=4,
     assert deterministic or model.drop_path_rate == 0.0, (
         "stochastic depth rates are per-layer constants; disable drop_path "
         "under pipeline parallelism")
+    assert model.attention_type != "fact_encoder", (
+        "fact_encoder has two heterogeneous transformer stacks; pipeline "
+        "the spatial stack via pipeline_blocks directly")
     operator_order = (("time_attn", "space_attn", "ffn")
                       if model.attention_type == "divided_space_time"
                       else ("self_attn", "ffn"))
+    # ViViT's tubelet embedding folds tube_size frames into one token step:
+    # its blocks see num_frames // tube_size effective frames
+    eff_frames = model.num_frames // getattr(model, "tube_size", 1)
     block = BasicTransformerBlock(
         embed_dims=model.embed_dims, num_heads=model.num_heads,
-        num_frames=model.num_frames,
+        num_frames=eff_frames,
         hidden_channels=model.embed_dims * 4,
         operator_order=operator_order,
         dpr=0.0, dtype=model.dtype)

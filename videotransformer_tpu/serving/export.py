@@ -176,10 +176,9 @@ class ExportedPredictor:
         for b in self.buckets:
             with open(os.path.join(path, f"predict_b{b}.shlo"), "rb") as f:
                 # jit the deserialized call: one compiled executable per
-                # bucket with the weights donated as resident device buffers
-                # — the bare .call dispatches the StableHLO op-by-op and
-                # re-stages the weights on every request (measured 545 ms
-                # p50 vs 97 ms for the jitted path on the single chip)
+                # bucket, called with the device-resident weight arrays
+                # loaded below — the bare .call dispatches the StableHLO
+                # op-by-op (one relay round trip per op on this host)
                 self._fns[b] = jax.jit(jax_export.deserialize(f.read()).call)
         flat = np.load(os.path.join(path, "params.npz"))
         params = {k[len("model/"):]: flat[k] for k in flat.files

@@ -136,19 +136,43 @@ class InferenceServer:
     # ---- host side -------------------------------------------------------
 
     def preprocess_bytes(self, data: bytes):
-        """Decode raw video bytes and run the notebook eval transform."""
-        from videotransformer_tpu.tools.demo_inference import load_clip
+        """Decode raw video bytes into the predictor's input layout.
 
+        clips-mode artifacts: decode + the notebook eval transform on the
+        host -> (n_crops, T, 3, S, S) float32. raw-mode artifacts: decode to
+        the canonical uint8 clip only -> (T, raw_h, raw_w, 3); the eval
+        preprocessing runs inside the exported device program."""
         with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
             f.write(data)
             tmp = f.name
         try:
+            if getattr(self.predictor, "input_mode", "clips") == "raw":
+                return self._load_raw_clip(tmp)
+            from videotransformer_tpu.tools.demo_inference import load_clip
+
             clip = load_clip(tmp, self.num_frames, self.frame_interval,
                              self.mean, self.std)
         finally:
             os.unlink(tmp)
         return np.asarray(clip).reshape(
             self.n_crops, self.num_frames, 3, self.img_size, self.img_size)
+
+    def _load_raw_clip(self, path):
+        """Canonical uint8 decode matching the dataset raw_clips mode
+        (data/dataset.py): decode-time short-edge resize, linspace temporal
+        sampling, center-crop/pad to the artifact's (raw_h, raw_w)."""
+        from videotransformer_tpu.data import transforms as T
+        from videotransformer_tpu.data.dataset import canonicalize_raw_clip
+        from videotransformer_tpu.data.video_reader import VideoReader
+
+        raw_h, raw_w = self.predictor.input_shape[1:3]
+        vr = VideoReader(path, short_edge=raw_h)
+        temporal_sample = T.TemporalRandomCrop(
+            self.num_frames * self.frame_interval)
+        start, end = temporal_sample(len(vr))
+        indices = np.linspace(0, end - start - 1, self.num_frames, dtype=int)
+        video = vr.get_batch(indices)  # (T, H, W, C) uint8
+        return canonicalize_raw_clip(video, (raw_h, raw_w))
 
     def predict_bytes(self, data: bytes, timeout=120.0):
         clip = self.preprocess_bytes(data)
