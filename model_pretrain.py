@@ -115,6 +115,15 @@ def parse_args(argv=None):
                              "sp.py: tokens sharded across chips; divided "
                              "space-time only — must divide num_frames and "
                              "the patch count)")
+    parser.add_argument("-pp", type=int, default=1,
+                        help="pipeline-parallel stage count (parallel/pp.py "
+                             "GPipe over a 'pipe' mesh axis; supervised "
+                             "timesformer/vivit, composes with data "
+                             "parallelism; must divide the layer count)")
+    parser.add_argument("-pp_microbatch", type=int, default=0,
+                        help="GPipe microbatches per step (0 = pp stage "
+                             "count); more microbatches shrink the pipeline "
+                             "bubble but must divide the batch size")
 
     return parser.parse_args(argv)
 
@@ -167,9 +176,9 @@ def single_run(argv=None):
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
     # linear learning rate scale over the DATA-parallel chips
-    # (model_pretrain.py:158-164); seq/tensor-parallel chips share one batch
-    # shard, so they don't scale the effective batch
-    num_devices = jax.device_count() // (args.sp * args.tp)
+    # (model_pretrain.py:158-164); seq/tensor/pipeline-parallel chips share
+    # one batch shard, so they don't scale the effective batch
+    num_devices = jax.device_count() // (args.sp * args.tp * args.pp)
     effective_batch_size = args.batch_size * num_devices
     args.lr = args.lr * effective_batch_size / 256
 
@@ -214,7 +223,12 @@ def single_run(argv=None):
     if args.resume and not args.resume_from_checkpoint:
         args.resume_from_checkpoint = _resolve_resume_checkpoint(ckpt_dir)
 
-    trainer = VideoTransformerTrainer(
+    trainer_cls = VideoTransformerTrainer
+    if args.pp > 1:
+        from videotransformer_tpu.training.pp_trainer import PipelineTrainer
+
+        trainer_cls = PipelineTrainer
+    trainer = trainer_cls(
         configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test,
         log_dir=log_dir)
 

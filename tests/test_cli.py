@@ -184,3 +184,53 @@ def test_single_run_sequence_parallel(tmp_path, monkeypatch):
     assert trainer.val_meter.total == 8
     assert 0.0 <= trainer.val_meter.compute() <= 1.0
     vt_sp.disable_sequence_parallel()
+
+
+@pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+def test_single_run_pipeline_parallel(tmp_path, monkeypatch):
+    """-pp 2 end to end through the CLI: dp4 x pp2 mesh over the 8 virtual
+    devices — PipelineTrainer selected, stacked block params pipe-sharded,
+    train + val through the GPipe schedule, canonical checkpoint written."""
+    import jax
+
+    from videotransformer_tpu.models import TimeSformer
+    from videotransformer_tpu.training import trainer as trainer_mod
+    from videotransformer_tpu.training.pp_trainer import PipelineTrainer
+
+    def tiny_build(configs):
+        return TimeSformer(
+            num_frames=configs.num_frames, img_size=configs.img_size,
+            patch_size=16, embed_dims=32, num_heads=4,
+            num_transformer_layers=2,
+            attention_type=configs.attention_type)
+
+    monkeypatch.setattr(trainer_mod, "build_model", tiny_build)
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(16)))
+
+    import model_pretrain
+
+    argv = [
+        "-epoch", "1", "-batch_size", "8", "-num_workers", "1",
+        "-num_class", "400", "-num_frames", "2", "-frame_interval", "4",
+        "-img_size", "32", "-objective", "supervised", "-arch", "timesformer",
+        "-lr", "0.01", "-warmup_epochs", "1", "-root_dir", str(tmp_path),
+        "-train_data_path", str(ann), "-val_data_path", str(ann),
+        "-pp", "2", "-log_interval", "1",
+    ]
+    trainer = model_pretrain.single_run(argv)
+    assert isinstance(trainer, PipelineTrainer)
+    assert dict(trainer.mesh.shape) == {
+        "data": 4, "seq": 1, "model": 1, "pipe": 2}
+    leaf = jax.tree.leaves(trainer.params["model"]["transformer_layers"])[0]
+    assert leaf.shape[0] == 2 and "pipe" in str(leaf.sharding.spec)
+    assert trainer.global_step == 2  # 16 samples / batch 8
+    assert trainer.val_meter.total == 16
+    assert 0.0 <= trainer.val_meter.compute() <= 1.0
+    # the checkpoint on disk is canonical per-layer (dp-compatible)
+    import glob
+
+    ckpts = glob.glob(str(tmp_path / "results" / "*" / "ckpt" /
+                          "last_checkpoint"))
+    assert ckpts, "last_checkpoint not written"

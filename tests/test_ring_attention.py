@@ -1,0 +1,128 @@
+"""Ring attention (parallel/sp.py ring_prenorm_mhsa): sequence parallelism
+for GLOBAL (joint space-time) attention. Tokens shard over the seq axis and
+K/V blocks rotate the ring with online-softmax accumulation; forward AND
+backward must equal the dense module path, including the cls-token odd token
+counts (padded + masked tail shard)."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videotransformer_tpu.models import TimeSformer
+from videotransformer_tpu.ops.blocks import JointAttention
+from videotransformer_tpu.parallel import sp as vt_sp
+from videotransformer_tpu.parallel.mesh import create_mesh, shard_batch
+from videotransformer_tpu.training import trainer as trainer_mod
+from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+
+def _mesh(d=2, s=2):
+    return create_mesh(data=d, seq=s, devices=jax.devices()[: d * s])
+
+
+def _attn_and_params(n_tokens, embed=32, heads=4, batch=4, seed=0):
+    mod = JointAttention(embed, heads)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(batch, n_tokens, embed).astype(np.float32) * 0.5)
+    params = mod.init(jax.random.PRNGKey(seed), x)["params"]
+    return mod, params, x
+
+
+@pytest.mark.parametrize("n_tokens", [8, 9, 13])
+def test_ring_forward_matches_dense(n_tokens):
+    """sp2: ring output == dense module output for even, cls-odd, and
+    non-divisible token counts."""
+    mod, params, x = _attn_and_params(n_tokens)
+    dense = mod.apply({"params": params}, x, True)
+
+    with vt_sp.sequence_parallel(_mesh()):
+        ring = mod.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_ring_gradients_match_dense():
+    """d(loss)/d(params, x) through the ring (reverse ring of ppermutes +
+    scan transpose) equals the dense gradients — including the psum of the
+    replicated weight cotangents over (data, seq)."""
+    mod, params, x = _attn_and_params(9)
+
+    def loss(p, xx):
+        return (mod.apply({"params": p}, xx, True) ** 2).sum()
+
+    g_dense = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+    with vt_sp.sequence_parallel(_mesh()):
+        g_ring = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ring), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_ring_sp4_uneven_tail():
+    """sp4 with n=9: two shards hold real tokens, one is partial, one is all
+    padding — the origin-indexed column mask must handle all three."""
+    mod, params, x = _attn_and_params(9, batch=2)
+    dense = mod.apply({"params": params}, x, True)
+    with vt_sp.sequence_parallel(_mesh(d=2, s=4)):
+        ring = mod.apply({"params": params}, x, True)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-6)
+
+
+def _tiny(configs):
+    return TimeSformer(
+        num_frames=configs.num_frames, img_size=configs.img_size,
+        patch_size=16, embed_dims=32, num_heads=4, num_transformer_layers=2,
+        attention_type=configs.attention_type)
+
+
+def _cfg(**over):
+    base = dict(
+        objective="supervised", arch="timesformer",
+        attention_type="joint_space_time", num_class=10, num_frames=2,
+        img_size=32, batch_size=4, optim_type="adamw", lr=1e-3,
+        lr_schedule="cosine", warmup_epochs=1, min_lr=1e-6, weight_decay=0.05,
+        weight_decay_end=0.05, clip_grad=1.0, seed=0, mixup=False,
+        eval_metrics="finetune", layer_decay=1.0)
+    base.update(over)
+    return SimpleNamespace(**base)
+
+
+def test_joint_sp_train_step_matches_dp(monkeypatch):
+    """Joint space-time TimeSformer under dp2 x sp2 == dp4: the full train
+    step (forward rings, backward reverse-rings, grads psum over both axes)
+    agrees with replicated DP — sequence parallelism now covers every
+    attention type, not just divided."""
+    monkeypatch.setattr(trainer_mod, "build_model", _tiny)
+    cfg = _cfg()
+
+    rng = np.random.RandomState(0)
+    video = rng.rand(4, 2, 3, 32, 32).astype(np.float32)
+    labels = (np.arange(4) % 10).astype(np.int32)
+
+    results = {}
+    for name, (d, s) in {"dp": (4, 1), "sp": (2, 2)}.items():
+        mesh = create_mesh(data=d, seq=s, devices=jax.devices()[: d * s])
+        tr = VideoTransformerTrainer(cfg, ckpt_dir=None, mesh=mesh)
+        assert vt_sp.active() == (s > 1)
+        batch = shard_batch(mesh, {"video": video, "label": labels})
+        key = jax.random.PRNGKey(42)
+        params, opt_state, stats = tr._train_step(
+            tr.params, tr.opt_state, batch, key,
+            jnp.float32(1e-3), jnp.float32(0.05))
+        results[name] = (float(stats["loss"]), float(stats["grad_norm"]),
+                         jax.tree.leaves(params))
+        vt_sp.disable_sequence_parallel()
+
+    np.testing.assert_allclose(results["sp"][0], results["dp"][0], rtol=1e-5)
+    np.testing.assert_allclose(results["sp"][1], results["dp"][1], rtol=1e-4)
+    # param tolerance sized for AdamW's sign sensitivity on noise-dominated
+    # gradient elements (the ring accumulates in a different order); the
+    # tight equivalence checks are loss/grad_norm above
+    for a, b in zip(results["sp"][2], results["dp"][2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)

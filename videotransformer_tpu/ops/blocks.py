@@ -59,25 +59,40 @@ def get_sine_cosine_pos_emb(n_position: int, d_hid: int) -> jnp.ndarray:
 
 
 def drop_path(
-    x: jnp.ndarray, rate: float, deterministic: bool, rng: Optional[jax.Array]
+    x: jnp.ndarray, rate, deterministic: bool, rng: Optional[jax.Array]
 ) -> jnp.ndarray:
-    """Stochastic depth per leading-batch row (reference transformer.py:34-42)."""
-    if rate == 0.0 or deterministic:
+    """Stochastic depth per leading-batch row (reference transformer.py:34-42).
+
+    ``rate`` may be a python float (the usual case) or a traced scalar — the
+    pipeline-parallel trainer scans one stacked block over layers, so the
+    per-layer linspace rate arrives as data (parallel/pp.py)."""
+    is_static = isinstance(rate, (int, float))
+    if deterministic or (is_static and rate == 0.0):
         return x
-    keep_prob = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=x.dtype))
-    return x / keep_prob * mask
+    if is_static:
+        keep_prob = 1.0 - rate
+        mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=x.dtype))
+        return x / keep_prob * mask
+    keep_prob = (1.0 - rate).astype(jnp.float32)
+    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return x * (mask / keep_prob).astype(x.dtype)
 
 
 class DropPath(nn.Module):
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        """``rate`` overrides the module constant (traced scalars allowed) —
+        used by the pipeline-parallel block scan where the stochastic-depth
+        rate varies per layer of one shared module."""
+        if rate is None and (self.rate == 0.0 or deterministic):
             return x
-        return drop_path(x, self.rate, deterministic, self.make_rng("dropout"))
+        if deterministic:
+            return x
+        return drop_path(x, self.rate if rate is None else rate,
+                         deterministic, self.make_rng("dropout"))
 
 
 def _sdpa(q, k, v, scale, dtype):
@@ -239,7 +254,8 @@ class DividedTemporalAttention(nn.Module):
                 self.embed_dims, dtype=self.dtype,
                 kernel_init=init.zeros_init, bias_init=init.zeros_init)
 
-    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False,
+                 dpr=None):
         cls_token = query[:, :1, :]  # (b, 1, d)
         query = query[:, 1:, :]
         residual = query if not self.use_cls_token else None
@@ -310,7 +326,7 @@ class DividedTemporalAttention(nn.Module):
             if return_attention:
                 return attn_w
         attn_out = self.post_drop(attn_out, deterministic=deterministic)
-        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic, rate=dpr)
         if not self.use_cls_token:
             attn_out = self.temporal_fc(attn_out)
 
@@ -382,7 +398,8 @@ class DividedSpatialAttention(nn.Module):
         return self.attn(xn, deterministic=deterministic,
                          need_weights=return_attention)
 
-    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False,
+                 dpr=None):
         cls_token = query[:, :1, :]
         query = query[:, 1:, :]
         residual = query if not self.use_cls_token else None
@@ -408,7 +425,7 @@ class DividedSpatialAttention(nn.Module):
             return attn_w
 
         attn_out = self.post_drop(attn_out, deterministic=deterministic)
-        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic, rate=dpr)
 
         if self.use_cls_token:
             new_cls = attn_out[:, 0, :].reshape(b, t, d).mean(axis=1, keepdims=True)
@@ -446,9 +463,27 @@ class JointAttention(nn.Module):
         self.post_drop = nn.Dropout(self.proj_drop)
         self.layer_drop = DropPath(self.drop_path_rate)
 
-    def __call__(self, query, deterministic: bool = True, return_attention: bool = False):
+    def __call__(self, query, deterministic: bool = True, return_attention: bool = False,
+                 dpr=None):
         residual = query
-        if _use_fused_mhsa(self, query, return_attention):
+        if (vt_sp.active() and not return_attention and self.attn_drop == 0.0
+                and not self.is_initializing() and vt_sp.ring_eligible(query)):
+            # sequence parallel over GLOBAL attention: tokens stay sharded
+            # over the seq axis and the K/V blocks ride the ring
+            # (parallel/sp.py ring_prenorm_mhsa) — no all-gather, O(n/sp)
+            # activation memory per chip
+            np_ = self.norm.variables["params"]
+            ap = self.attn.variables["params"]
+            head_dim = self.embed_dims // self.num_heads
+            attn_out = vt_sp.ring_prenorm_mhsa(
+                query.astype(self.dtype),
+                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
+                ap["qkv"]["kernel"].astype(self.dtype),
+                ap["qkv"]["bias"].astype(self.dtype),
+                ap["proj"]["kernel"].astype(self.dtype),
+                ap["proj"]["bias"].astype(self.dtype),
+                self.num_heads, head_dim**-0.5, 1e-5)
+        elif _use_fused_mhsa(self, query, return_attention):
             from videotransformer_tpu.kernels.fused_mhsa_pallas import (
                 fused_prenorm_mhsa)
 
@@ -470,7 +505,7 @@ class JointAttention(nn.Module):
             if return_attention:
                 return attn_w
         attn_out = self.post_drop(attn_out, deterministic=deterministic)
-        attn_out = self.layer_drop(attn_out, deterministic=deterministic)
+        attn_out = self.layer_drop(attn_out, deterministic=deterministic, rate=dpr)
         return residual + attn_out
 
 
@@ -508,7 +543,7 @@ class FFN(nn.Module):
         self.drop = nn.Dropout(self.dropout_p)
         self.layer_drop = DropPath(self.drop_path_rate)
 
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dpr=None):
         residual = x
         use_fused = (
             self.num_layers == 2
@@ -550,7 +585,7 @@ class FFN(nn.Module):
                     x = nn.gelu(x, approximate=False)
                     x = self.drop(x, deterministic=deterministic)
             x = self.drop(x, deterministic=deterministic)
-        x = self.layer_drop(x, deterministic=deterministic)
+        x = self.layer_drop(x, deterministic=deterministic, rate=dpr)
         return residual + x
 
 
@@ -570,7 +605,12 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, return_attention: bool = False):
+    def __call__(self, x, deterministic: bool = True, return_attention: bool = False,
+                 dpr=None):
+        # ``dpr`` (traced scalar) overrides the static ``self.dpr`` in every
+        # operator's DropPath — the pipeline-parallel trainer scans ONE block
+        # module over stacked per-layer params, so the stochastic-depth
+        # linspace must arrive as data rather than a module constant
         attentions = []
         ffns = []
         order = tuple(self.operator_order)
@@ -631,9 +671,9 @@ class BasicTransformerBlock(nn.Module):
         for i, layer in enumerate(attentions):
             if i >= len(attentions) - 1 and return_attention:
                 return layer(x, deterministic=deterministic, return_attention=True)
-            x = layer(x, deterministic=deterministic)
+            x = layer(x, deterministic=deterministic, dpr=dpr)
         for layer in ffns:
-            x = layer(x, deterministic=deterministic)
+            x = layer(x, deterministic=deterministic, dpr=dpr)
         return x
 
 

@@ -21,20 +21,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(data: int = -1, model: int = 1, seq: int = 1,
-                devices=None) -> Mesh:
-    """Build a (data, seq, model) mesh. data=-1 uses all remaining devices.
+                pipe: int = 1, devices=None) -> Mesh:
+    """Build a (data, seq, model[, pipe]) mesh. data=-1 uses all remaining
+    devices.
 
     ``seq`` is the sequence-parallel axis (parallel/sp.py): adjacent devices
     share a clip's tokens, so the per-layer all-to-alls between the divided
     temporal/spatial layouts ride the fastest ICI hops; ``data`` varies
-    slowest, as gradient psums tolerate the longer path."""
+    slowest, as gradient psums tolerate the longer path. ``pipe`` (GPipe
+    pipeline stages, parallel/pp.py) varies fastest so the stage-to-stage
+    ppermute ring rides adjacent ICI links; the axis only exists when
+    pipe > 1, keeping non-pp meshes unchanged."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        assert n % (model * seq) == 0, (n, model, seq)
-        data = n // (model * seq)
-    assert data * model * seq == n, (data, seq, model, n)
-    return Mesh(devices.reshape(data, seq, model), ("data", "seq", "model"))
+        assert n % (model * seq * pipe) == 0, (n, model, seq, pipe)
+        data = n // (model * seq * pipe)
+    assert data * model * seq * pipe == n, (data, seq, model, pipe, n)
+    if pipe == 1:
+        return Mesh(devices.reshape(data, seq, model), ("data", "seq", "model"))
+    return Mesh(devices.reshape(data, seq, model, pipe),
+                ("data", "seq", "model", "pipe"))
 
 
 def shard_batch(mesh: Mesh, tree):

@@ -69,12 +69,20 @@ def shard_stacked_params(mesh, stacked, axis="pipe"):
 
 
 def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
-                    axis="pipe", data_axis=None):
+                    axis="pipe", data_axis=None, extras=None, indexed=False):
     """Run the block stack as a GPipe pipeline over ``mesh[axis]``.
 
-    block_apply: (layer_params, x) -> x — one transformer block.
+    block_apply: (layer_params, x) -> x — one transformer block. With
+        ``extras`` it is called as (layer_params, x, extra); with
+        ``indexed=True`` as (layer_params, x, extra, layer_idx, mb_idx)
+        where layer_idx is the GLOBAL layer index and mb_idx the microbatch
+        being processed (both traced scalars) — the hooks the trainer uses
+        for per-layer DropPath rates and per-(layer, microbatch) dropout
+        keys under pipeline-parallel TRAINING.
     stacked_params: leaves (L, ...), L = P * layers_per_stage, sharded or
         shardable over ``axis``.
+    extras: optional pytree of per-layer data, leaves (L, ...), scanned and
+        sharded alongside the params.
     microbatches: (M, mb, N, D) — M microbatches of the token activations.
     Returns (M, mb, N, D), numerically identical to applying the L blocks
     sequentially to each microbatch.
@@ -88,23 +96,35 @@ def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
     M = microbatches.shape[0]
     n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
     assert n_layers % p_size == 0, (n_layers, p_size)
+    per_stage = n_layers // p_size
     if data_axis is None and "data" in mesh.axis_names:
         data_axis = "data"
     if data_axis is not None and dict(mesh.shape)[data_axis] > 1:
         x_spec = P(None, data_axis, *([None] * (microbatches.ndim - 2)))
     else:
         x_spec = P()
+    if extras is None:
+        extras = ()  # shard_map needs a pytree, not None
+    has_extras = len(jax.tree.leaves(extras)) > 0
 
-    def per_device(local_params, mbs):
+    def per_device(local_params, local_extras, mbs):
         # local_params leaves: (L/P, ...); mbs: (M, mb, N, D) (replicated)
         p = jax.lax.axis_index(axis)
         ticks = M + p_size - 1
 
-        def stage(x):
-            def layer(h, lp):
+        def stage(x, mb_idx):
+            local_idx = jnp.arange(per_stage) + p * per_stage
+
+            def layer(h, sc):
+                lp, ex, li = sc
+                if indexed:
+                    return block_apply(lp, h, ex, li, mb_idx), None
+                if has_extras:
+                    return block_apply(lp, h, ex), None
                 return block_apply(lp, h), None
 
-            out, _ = jax.lax.scan(layer, x, local_params)
+            out, _ = jax.lax.scan(
+                layer, x, (local_params, local_extras, local_idx))
             return out
 
         state = jnp.zeros_like(mbs[0])
@@ -114,7 +134,9 @@ def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
             state, outputs = carry
             feed = mbs[jnp.clip(t, 0, M - 1)]
             inp = jnp.where(p == 0, feed, state)
-            out = stage(inp)
+            # the microbatch flowing through stage p at tick t (warmup /
+            # cooldown ticks process don't-care data; clip keeps it in range)
+            out = stage(inp, jnp.clip(t - p, 0, M - 1))
             idx = t - (p_size - 1)
             valid = (p == p_size - 1) & (idx >= 0)
             slot = jnp.clip(idx, 0, M - 1)
@@ -132,10 +154,12 @@ def pipeline_blocks(block_apply, stacked_params, microbatches, mesh,
 
     spec_p = jax.tree.map(
         lambda x: P(axis, *([None] * (x.ndim - 1))), stacked_params)
+    spec_e = jax.tree.map(
+        lambda x: P(axis, *([None] * (x.ndim - 1))), extras)
     return jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(spec_p, x_spec), out_specs=x_spec,
-        check_vma=False)(stacked_params, microbatches)
+        in_specs=(spec_p, spec_e, x_spec), out_specs=x_spec,
+        check_vma=False)(stacked_params, extras, microbatches)
 
 
 def pipelined_forward_features(model, params, video, mesh, microbatches=4,

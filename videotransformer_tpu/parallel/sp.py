@@ -128,6 +128,109 @@ def row_sharded_call(fn, x, *args):
         check_vma=False)(x, *args)
 
 
+def ring_eligible(x) -> bool:
+    """Ring attention preconditions: sp on, batch divisible by the data axis,
+    and at least one token per seq shard."""
+    if not active():
+        return False
+    st = _STATE
+    dp = dict(st["mesh"].shape)[st["data_axis"]]
+    spn = dict(st["mesh"].shape)[st["axis"]]
+    return x.shape[0] % dp == 0 and x.shape[1] >= spn
+
+
+def ring_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                      num_heads, scale, eps=1e-5):
+    """Sequence-parallel prenorm-MHSA for GLOBAL (joint space-time) attention.
+
+    Divided attention is sequence-parallel for free (rows are device-local,
+    ``constrain_rows``); joint attention rows span the WHOLE token axis, so
+    sharding tokens needs cross-device attention. The TPU-native answer is
+    ring attention (cf. the scaling-book collective-matmul recipe): each
+    device keeps its Q shard and its K/V shard, and the K/V blocks rotate
+    around the ``seq`` ring — one ``ppermute`` of a (b, n/sp, d) block per
+    step, overlappable with the block's matmuls — while a running online
+    softmax (m, l, acc) accumulates exact attention. Nothing is ever
+    all-gathered: per-chip activation memory stays O(n/sp) and the (n, n)
+    score matrix never exists, which is what lets joint/ViViT-style models
+    scale past one chip's HBM on the token axis.
+
+    x: (b, n, d) with b over ``data`` and n over ``seq`` (cls token included;
+    n need not divide sp — the tail shard is padded and masked out).
+    Weights replicated. Returns the attention output (pre-residual), same
+    sharding as x. Backward differentiates through the scan/ppermute (the
+    reverse ring), so no hand-written VJP is needed.
+
+    Gradient note: the replicated weight operands get their cotangents
+    psum'd over (data, seq) by shard_map's transpose, preserving the exact
+    data-parallel gradient (verified against the dense path in
+    tests/test_ring_attention.py).
+    """
+    st = _STATE
+    mesh = st["mesh"]
+    axis, data_axis = st["axis"], st["data_axis"]
+    S = dict(mesh.shape)[axis]
+    b, n, d = x.shape
+    n_l = -(-n // S)  # ceil
+    pad = n_l * S - n
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    head_dim = d // num_heads
+
+    def local_fn(xl, lns, lnb, wq, bq, wp, bp):
+        # xl: (b_l, n_l, d) — this device's token shard
+        p_seq = jax.lax.axis_index(axis)
+        xf = xl.astype(jnp.float32)
+        # flax LayerNorm numerics (fast variance)
+        mu = xf.mean(-1, keepdims=True)
+        var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+        xn = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(xl.dtype)
+        xn = xn * lns + lnb
+        qkv = (xn @ wq + bq).reshape(xl.shape[0], n_l, 3, num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, b_l, H, n_l, hd)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        perm = [(j, (j + 1) % S) for j in range(S)]
+        m0 = jnp.full(q.shape[:3], -jnp.inf, jnp.float32)
+        l0 = jnp.zeros(q.shape[:3], jnp.float32)
+        acc0 = jnp.zeros(q.shape, jnp.float32)
+
+        def step(carry, i):
+            m, l, acc, k_blk, v_blk = carry
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, k_blk,
+                           preferred_element_type=jnp.float32) * scale
+            # the rotating block at step i originated on seq device
+            # (p_seq - i) mod S; only its first (n - origin*n_l) cols are
+            # real tokens — the tail shard carries the divisibility padding
+            origin = jax.lax.rem(p_seq - i + S, S)
+            valid = jnp.clip(n - origin * n_l, 0, n_l)
+            s = jnp.where(jnp.arange(n_l)[None, None, None, :] < valid,
+                          s, -1e30)
+            m_new = jnp.maximum(m, s.max(-1))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            l = l * alpha + p.sum(-1)
+            acc = acc * alpha[..., None] + jnp.einsum(
+                "bhnm,bhmd->bhnd", p.astype(xl.dtype), v_blk,
+                preferred_element_type=jnp.float32)
+            k_blk = jax.lax.ppermute(k_blk, axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis, perm)
+            return (m_new, l, acc, k_blk, v_blk), None
+
+        (_, l, acc, _, _), _ = jax.lax.scan(
+            step, (m0, l0, acc0, k, v), jnp.arange(S))
+        out = (acc / jnp.maximum(l, 1e-30)[..., None]).astype(xl.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(xl.shape[0], n_l, d)
+        return out @ wp + bp
+
+    spec_x = P(data_axis, axis, None)
+    spec_w = tuple(P() for _ in range(6))
+    out = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(spec_x,) + spec_w,
+        out_specs=spec_x, check_vma=False)(
+            xp, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
+    return out[:, :n] if pad else out
+
+
 def token_sharded_call(fn, x, *args, head_fn=None):
     """Run ``fn(x, *args)`` on a token-major activation (b, n, d) with the
     batch over data and the token axis over seq — the sequence-parallel form

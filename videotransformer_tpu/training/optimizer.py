@@ -92,7 +92,7 @@ class RefOptimizer:
 
     def __init__(self, optim_type="adamw", betas=(0.9, 0.999), eps=1e-8,
                  momentum=0.9, nesterov=True, clip_grad=0.0,
-                 nd_mask=None, lr_scales=None):
+                 nd_mask=None, lr_scales=None, stacked_mask=None):
         self.optim_type = optim_type.lower()
         self.betas = betas
         self.eps = eps
@@ -101,6 +101,12 @@ class RefOptimizer:
         self.clip_grad = clip_grad
         self.nd_mask = nd_mask
         self.lr_scales = lr_scales
+        # stacked_mask: bool pytree — True on leaves whose LEADING axis is a
+        # stacked per-layer axis (pipeline parallelism stacks the L block
+        # subtrees, parallel/pp.py). The per-PARAMETER clip must then act per
+        # leading slice, so clipping under pp matches the unstacked reference
+        # semantics exactly (model_trainer.py:155-170 is per tensor).
+        self.stacked_mask = stacked_mask
 
     def init(self, params):
         zeros = jax.tree.map(jnp.zeros_like, params)
@@ -109,15 +115,26 @@ class RefOptimizer:
 
     def _clip(self, grads):
         """Per-parameter clip (model_trainer.py:155-170). Returns total norm
-        of per-param norms (the reference's logged grad_norm)."""
-        norms = jax.tree.map(lambda g: jnp.linalg.norm(g.reshape(-1)), grads)
-        total = jnp.sqrt(sum(n**2 for n in jax.tree.leaves(norms)))
+        of per-param norms (the reference's logged grad_norm). Stacked
+        (per-layer) leaves are clipped per leading slice — each original
+        layer tensor keeps its own norm."""
+        sm = self.stacked_mask or jax.tree.map(lambda _: False, grads)
+
+        def norm_one(g, stacked):
+            if stacked:
+                return jnp.sqrt((g.reshape(g.shape[0], -1) ** 2).sum(axis=1))
+            return jnp.linalg.norm(g.reshape(-1))
+
+        norms = jax.tree.map(norm_one, grads, sm)
+        total = jnp.sqrt(sum(jnp.sum(n**2) for n in jax.tree.leaves(norms)))
         if self.clip_grad and self.clip_grad > 0:
-            def clip_one(g, n):
+            def clip_one(g, n, stacked):
                 coef = self.clip_grad / (n + 1e-6)
+                if stacked:
+                    coef = coef.reshape((g.shape[0],) + (1,) * (g.ndim - 1))
                 return jnp.where(coef < 1, g * coef, g)
 
-            grads = jax.tree.map(clip_one, grads, norms)
+            grads = jax.tree.map(clip_one, grads, norms, sm)
         return grads, total
 
     def update(self, grads, state, params, lr, wd):

@@ -72,6 +72,12 @@ def build_model(configs):
             feature_dim=2 * 2 * 2 * 3 * 9,
             dtype=dtype,
         )
+    # drop_path_rate is hardcoded in the reference (transformer.py:543 uses
+    # 0.1); exposed as an optional config attr so tests/experiments can turn
+    # stochastic depth off (e.g. pipeline-parallel parity checks)
+    dpr = {}
+    if getattr(configs, "drop_path_rate", None) is not None:
+        dpr["drop_path_rate"] = configs.drop_path_rate
     if configs.arch == "vivit":
         return ViViT(
             img_size=configs.img_size,
@@ -79,6 +85,7 @@ def build_model(configs):
             attention_type=configs.attention_type,
             remat=getattr(configs, "remat", False),
             dtype=dtype,
+            **dpr,
         )
     if configs.arch == "timesformer":
         return TimeSformer(
@@ -87,6 +94,7 @@ def build_model(configs):
             attention_type=configs.attention_type,
             remat=getattr(configs, "remat", False),
             dtype=dtype,
+            **dpr,
         )
     raise ValueError(configs.arch)
 
@@ -194,17 +202,8 @@ class VideoTransformerTrainer:
         else:
             opt_tree = params
 
-        # placement: replicated for pure DP; Megatron-style column/row sharding
-        # over the 'model' axis when the mesh carries one (tensor parallel —
-        # TPU-native extension, see parallel/tp.py)
-        if dict(self.mesh.shape).get("model", 1) > 1:
-            from videotransformer_tpu.parallel.tp import shard_params_tp
-
-            self.params = shard_params_tp(self.mesh, params)
-        else:
-            self.params = replicate(self.mesh, params)
-        is_pretrain = not self.supervised
-        self.optimizer = build_optimizer(configs, opt_tree, is_pretrain=is_pretrain)
+        self.params = self._place_params(params)
+        self.optimizer = self._make_optimizer(opt_tree)
         with self.mesh:
             # zeros_like preserves each param's sharding, so the optimizer
             # state lands with the same layout as the params
@@ -219,6 +218,38 @@ class VideoTransformerTrainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _place_params(self, params):
+        """Host param tree -> runtime placement. Base: replicated for pure
+        DP; Megatron-style column/row sharding over the 'model' axis when the
+        mesh carries one (tensor parallel — TPU-native extension,
+        parallel/tp.py). The pipeline trainer overrides this to stack and
+        pipe-shard the transformer blocks."""
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            from videotransformer_tpu.parallel.tp import shard_params_tp
+
+            return shard_params_tp(self.mesh, params)
+        return replicate(self.mesh, params)
+
+    def _make_optimizer(self, opt_tree):
+        """``opt_tree`` is the HOST (canonical, unstacked) optimizer subtree;
+        subclasses whose runtime param layout differs override this so the
+        optimizer masks match the runtime tree structure."""
+        return build_optimizer(self.configs, opt_tree,
+                               is_pretrain=not self.supervised)
+
+    def _canonical_params(self):
+        """Runtime params -> the canonical checkpoint tree (identity here;
+        the pipeline trainer unstacks its per-layer stacking)."""
+        return self.params
+
+    def _canonical_opt_moments(self):
+        return (self.opt_state.step, self.opt_state.mu, self.opt_state.nu)
+
+    def _place_opt_moment(self, tree):
+        """Canonical checkpoint moment tree -> runtime placement."""
+        return replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------
     def _opt_subtree(self, params):
@@ -536,10 +567,8 @@ class VideoTransformerTrainer:
 
         path = os.path.abspath(path)
         self.wait_for_checkpoints()  # at most one write in flight
-        snap_params = jax.tree.map(jnp.copy, self.params)
-        snap_opt = jax.tree.map(jnp.copy,
-                                (self.opt_state.step, self.opt_state.mu,
-                                 self.opt_state.nu))
+        snap_params = jax.tree.map(jnp.copy, self._canonical_params())
+        snap_opt = jax.tree.map(jnp.copy, self._canonical_opt_moments())
         epoch, step = np.int32(self.epoch + 1), np.int32(self.global_step)
         top1 = np.float32(self.max_top1_acc)
 
@@ -591,11 +620,11 @@ class VideoTransformerTrainer:
         self.wait_for_checkpoints()
         ckpter = ocp.PyTreeCheckpointer()
         payload = ckpter.restore(os.path.abspath(path))
-        self.params = replicate(self.mesh, payload["params"])
+        self.params = self._place_params(payload["params"])
         self.opt_state = RefOptState(
             step=jnp.asarray(payload["opt_state"]["step"]),
-            mu=replicate(self.mesh, payload["opt_state"]["mu"]),
-            nu=replicate(self.mesh, payload["opt_state"]["nu"]),
+            mu=self._place_opt_moment(payload["opt_state"]["mu"]),
+            nu=self._place_opt_moment(payload["opt_state"]["nu"]),
         )
         self.epoch = int(payload["epoch"])
         self.global_step = int(payload["global_step"])
