@@ -65,8 +65,32 @@ def _maxpool3d(x, kernel, stride, padding):
         x, -jnp.inf, jax.lax.max, dims, strides, pads)
 
 
+class _DepthwiseKernel(nn.Module):
+    """Holds the (k, k, k, 1, head_dim) depthwise kernel under the same
+    ``conv/kernel`` parameter path nn.Conv would use, so checkpoints and the
+    torch converter are unchanged by the tiled-apply optimization below."""
+
+    head_dim: int
+    kernel: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", init.trunc_normal_init(std=0.02),
+            (*self.kernel, 1, self.head_dim))
+
+
 class _PoolConv(nn.Module):
-    """Depthwise Conv3d(head_dim, head_dim, k, s, p, groups=head_dim, bias=False)."""
+    """Depthwise Conv3d(head_dim, head_dim, k, s, p, groups=head_dim, bias=False).
+
+    pytorchvideo applies ONE head_dim-channel depthwise conv to every head
+    (it folds (B, H, L, hd) to (B*H, hd, T, H, W) first). We instead run a
+    single C=(H*hd)-channel depthwise conv on the unsplit (B, T, H, W, C)
+    tensor with the head_dim kernel tiled across heads — identical math
+    (each channel sees its own window with the same per-head_dim weights),
+    full 8x128 lane tiles instead of hd=96, and no head-axis relayout before
+    pooling. The stored parameter keeps the (k, k, k, 1, head_dim) shape.
+    """
 
     head_dim: int
     kernel: Tuple[int, int, int]
@@ -75,19 +99,16 @@ class _PoolConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B*, T, H, W, C)
+        # x: (B, T, H, W, C) with C a multiple of head_dim
+        C = x.shape[-1]
+        w = _DepthwiseKernel(self.head_dim, tuple(self.kernel), name="conv")()
+        w = jnp.tile(w.astype(self.dtype), (1, 1, 1, 1, C // self.head_dim))
         pad = [(k // 2, k // 2) for k in self.kernel]
-        return nn.Conv(
-            self.head_dim,
-            kernel_size=tuple(self.kernel),
-            strides=tuple(self.stride),
-            padding=pad,
-            feature_group_count=self.head_dim,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=init.trunc_normal_init(std=0.02),
-            name="conv",
-        )(x)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w,
+            window_strides=tuple(self.stride), padding=pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=C)
 
 
 def _split_cls(tensor, has_cls):
@@ -109,19 +130,27 @@ class MultiScaleAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _pool(self, name, tensor, thw, pool_mod, norm_name):
-        """pytorchvideo _attention_pool on (B, H, L, hd)."""
+        """pytorchvideo _attention_pool, run in the full-channel (B, L, C)
+        layout BEFORE the head split (see _PoolConv): the cls slice/concat
+        and the pooling conv touch one contiguous-channel tensor, and the
+        head-axis transpose happens after pooling on the (up to 64x)
+        smaller pooled sequence. The per-head LayerNorm (param shape
+        (head_dim,), same path) is applied through a free reshape."""
         if pool_mod is None:
             return tensor, thw
-        B, H, L, hd = tensor.shape
+        B, L, C = tensor.shape
+        hd = C // self.num_heads
         T, Hh, Ww = thw
         cls_tok, t = _split_cls(tensor, self.has_cls_embed)
-        t = t.reshape(B * H, T, Hh, Ww, hd)
+        t = t.reshape(B, T, Hh, Ww, C)
         t = pool_mod(t)
         new_thw = (t.shape[1], t.shape[2], t.shape[3])
-        t = t.reshape(B, H, -1, hd)
+        t = t.reshape(B, -1, C)
         if self.has_cls_embed:
-            t = jnp.concatenate([cls_tok, t], axis=2)
-        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=norm_name)(t)
+            t = jnp.concatenate([cls_tok, t], axis=1)
+        Lp = t.shape[1]
+        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=norm_name)(
+            t.reshape(B, Lp, self.num_heads, hd)).reshape(B, Lp, C)
         return t, new_thw
 
     @nn.compact
@@ -137,17 +166,14 @@ class MultiScaleAttention(nn.Module):
         # split by LANE slices rather than the torch-style
         # reshape(B,N,3,H,hd).transpose(2,0,3,1,4): the 5-D transpose is a
         # full relayout of the (B,N,3C) tensor (1.5 ms/call at stage 0 of the
-        # batch-8 MaskFeat step); slicing keeps the feature dim minor and the
-        # per-head transpose is free for the H=1 stage-0 blocks
+        # batch-8 MaskFeat step); slicing keeps the feature dim minor, and
+        # the head split happens AFTER pooling so the transpose acts on the
+        # pooled (up to 64x smaller) sequence
         C_ = self.dim
 
         def head_split(t):
-            return t.reshape(B, N, self.num_heads, head_dim
+            return t.reshape(B, t.shape[1], self.num_heads, head_dim
                              ).transpose(0, 2, 1, 3)
-
-        q = head_split(qkv[..., :C_])
-        k = head_split(qkv[..., C_:2 * C_])
-        v = head_split(qkv[..., 2 * C_:])
 
         has_q_pool = len(self.kernel_q) > 0 and int(np.prod(self.kernel_q)) > 0
         has_kv_pool = len(self.kernel_kv) > 0 and int(np.prod(self.kernel_kv)) > 0
@@ -165,9 +191,10 @@ class MultiScaleAttention(nn.Module):
                       dtype=self.dtype, name="pool_v")
             if has_kv_pool else None)
 
-        q, q_thw = self._pool("q", q, thw, pool_q, "norm_q")
-        k, _ = self._pool("k", k, thw, pool_k, "norm_k")
-        v, _ = self._pool("v", v, thw, pool_v, "norm_v")
+        q, q_thw = self._pool("q", qkv[..., :C_], thw, pool_q, "norm_q")
+        k, _ = self._pool("k", qkv[..., C_:2 * C_], thw, pool_k, "norm_k")
+        v, _ = self._pool("v", qkv[..., 2 * C_:], thw, pool_v, "norm_v")
+        q, k, v = head_split(q), head_split(k), head_split(v)
 
         if not self.is_initializing() and vt_config.use_pallas_attention():
             # Pallas flash kernel handles Nq != Nkv (pooled K/V); the q-blocked
