@@ -36,7 +36,6 @@ import numpy as np
 
 from videotransformer_tpu import config as vt_config
 from videotransformer_tpu.ops import initializers as init
-from videotransformer_tpu.ops.blocks import DropPath
 
 Dtype = Any
 
@@ -118,6 +117,22 @@ def _split_cls(tensor, has_cls):
 
 
 class MultiScaleAttention(nn.Module):
+    """Pooling attention.
+
+    Internally the cls token rides as a SEPARATE (B, 1, C) tensor next to the
+    (B, L, C) patch tokens ("split-cls layout"): pytorchvideo's
+    ``_attention_pool`` slices the cls row off the concatenated sequence and
+    concatenates it back around every Q/K/V pool — on TPU each of those is a
+    full relayout copy of the sequence (sublane offset 1), ~16 blocks x 3
+    tensors per step. In split form the pools touch only the patch tensor,
+    cls joins the (up to 64x smaller) POOLED K/V via a cheap concat, and the
+    single cls query row gets its own trivial (1, Nkv) attention. The math
+    (and every parameter path) is identical to the concatenated form.
+
+    ``__call__`` keeps the concatenated (B, 1+L, C) API; the block stack uses
+    ``split_io=True`` to stay in split layout end to end.
+    """
+
     dim: int
     num_heads: int
     qkv_bias: bool = True
@@ -129,41 +144,51 @@ class MultiScaleAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
-    def _pool(self, name, tensor, thw, pool_mod, norm_name):
-        """pytorchvideo _attention_pool, run in the full-channel (B, L, C)
-        layout BEFORE the head split (see _PoolConv): the cls slice/concat
-        and the pooling conv touch one contiguous-channel tensor, and the
+    def _pool(self, cls_tok, t, thw, pool_mod, norm_name):
+        """pytorchvideo _attention_pool in split-cls layout, run in the
+        full-channel (B, L, C) layout BEFORE the head split (see _PoolConv):
+        the pooling conv touches one contiguous-channel tensor and the
         head-axis transpose happens after pooling on the (up to 64x)
         smaller pooled sequence. The per-head LayerNorm (param shape
-        (head_dim,), same path) is applied through a free reshape."""
+        (head_dim,), same path) is applied through a free reshape — to the
+        patch tokens and the cls token separately (per-token op, identical
+        to norming the concatenated sequence)."""
         if pool_mod is None:
-            return tensor, thw
-        B, L, C = tensor.shape
+            return cls_tok, t, thw
+        B, L, C = t.shape
         hd = C // self.num_heads
         T, Hh, Ww = thw
-        cls_tok, t = _split_cls(tensor, self.has_cls_embed)
         t = t.reshape(B, T, Hh, Ww, C)
         t = pool_mod(t)
         new_thw = (t.shape[1], t.shape[2], t.shape[3])
         t = t.reshape(B, -1, C)
-        if self.has_cls_embed:
-            t = jnp.concatenate([cls_tok, t], axis=1)
-        Lp = t.shape[1]
-        t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=norm_name)(
-            t.reshape(B, Lp, self.num_heads, hd)).reshape(B, Lp, C)
-        return t, new_thw
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=norm_name)
+
+        def per_head_norm(u):
+            return norm(u.reshape(B, u.shape[1], self.num_heads, hd)
+                        ).reshape(B, u.shape[1], C)
+
+        t = per_head_norm(t)
+        if cls_tok is not None:
+            cls_tok = per_head_norm(cls_tok)
+        return cls_tok, t, new_thw
 
     @nn.compact
-    def __call__(self, x, thw, deterministic: bool = True):
-        B, N, C = x.shape
+    def __call__(self, x, thw, deterministic: bool = True, *, x_cls=None,
+                 split_io: bool = False):
+        if not split_io:
+            x_cls, x = _split_cls(x, self.has_cls_embed)
+        B = x.shape[0]
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        qkv = nn.Dense(
+        qkv_mod = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=init.trunc_normal_init(std=0.02),
-            bias_init=init.zeros_init, name="qkv")(x)
-        # split by LANE slices rather than the torch-style
+            bias_init=init.zeros_init, name="qkv")
+        qkv = qkv_mod(x)
+        qkv_cls = qkv_mod(x_cls) if x_cls is not None else None
+        # split q/k/v by LANE slices rather than the torch-style
         # reshape(B,N,3,H,hd).transpose(2,0,3,1,4): the 5-D transpose is a
         # full relayout of the (B,N,3C) tensor (1.5 ms/call at stage 0 of the
         # batch-8 MaskFeat step); slicing keeps the feature dim minor, and
@@ -191,10 +216,22 @@ class MultiScaleAttention(nn.Module):
                       dtype=self.dtype, name="pool_v")
             if has_kv_pool else None)
 
-        q, q_thw = self._pool("q", qkv[..., :C_], thw, pool_q, "norm_q")
-        k, _ = self._pool("k", qkv[..., C_:2 * C_], thw, pool_k, "norm_k")
-        v, _ = self._pool("v", qkv[..., 2 * C_:], thw, pool_v, "norm_v")
-        q, k, v = head_split(q), head_split(k), head_split(v)
+        def part(t, i):
+            return None if t is None else t[..., i * C_:(i + 1) * C_]
+
+        q_cls, q, q_thw = self._pool(
+            part(qkv_cls, 0), qkv[..., :C_], thw, pool_q, "norm_q")
+        k_cls, k, _ = self._pool(
+            part(qkv_cls, 1), qkv[..., C_:2 * C_], thw, pool_k, "norm_k")
+        v_cls, v, _ = self._pool(
+            part(qkv_cls, 2), qkv[..., 2 * C_:], thw, pool_v, "norm_v")
+
+        # cls key/value join the pooled K/V (order matches the reference's
+        # [cls, pooled] concat); this concat is on the small pooled sequence
+        if k_cls is not None:
+            k = jnp.concatenate([k_cls, k], axis=1)
+            v = jnp.concatenate([v_cls, v], axis=1)
+        qh, kh, vh = head_split(q), head_split(k), head_split(v)
 
         if not self.is_initializing() and vt_config.use_pallas_attention():
             # Pallas flash kernel handles Nq != Nkv (pooled K/V); the q-blocked
@@ -203,23 +240,45 @@ class MultiScaleAttention(nn.Module):
             from videotransformer_tpu.kernels.flash_attention_pallas import (
                 flash_attention)
 
-            out = flash_attention(q, k, v, scale)
+            out = flash_attention(qh, kh, vh, scale)
         else:
             attn = jnp.einsum(
-                "bhnd,bhmd->bhnm", q * scale, k,
+                "bhnd,bhmd->bhnm", qh * scale, kh,
                 preferred_element_type=jnp.float32)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum(
-                "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+                "bhnm,bhmd->bhnd", attn, vh, preferred_element_type=jnp.float32
             ).astype(self.dtype)
-
         Nq = out.shape[2]
-        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C)
-        out = nn.Dense(
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, C_)
+
+        out_cls = None
+        if q_cls is not None:
+            # the single cls query row: a (1, Nkv) attention — plain XLA math
+            # (same fp32-softmax numerics as the fallback path above)
+            qc = head_split(q_cls)
+            s = jnp.einsum(
+                "bhnd,bhmd->bhnm", qc * scale, kh,
+                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1).astype(self.dtype)
+            oc = jnp.einsum(
+                "bhnm,bhmd->bhnd", p, vh, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            out_cls = oc.transpose(0, 2, 1, 3).reshape(B, 1, C_)
+
+        proj = nn.Dense(
             self.dim, dtype=self.dtype,
             kernel_init=init.trunc_normal_init(std=0.02),
-            bias_init=init.zeros_init, name="proj")(out)
-        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+            bias_init=init.zeros_init, name="proj")
+        drop = nn.Dropout(self.dropout_rate)
+        out = drop(proj(out), deterministic=deterministic)
+        if out_cls is not None:
+            out_cls = drop(proj(out_cls), deterministic=deterministic)
+
+        if split_io:
+            return (out_cls, out), q_thw
+        if out_cls is not None:
+            out = jnp.concatenate([out_cls, out], axis=1)
         return out, q_thw
 
 
@@ -261,31 +320,50 @@ class MultiScaleBlock(nn.Module):
                 self.dim_out, dtype=self.dtype,
                 kernel_init=init.trunc_normal_init(std=0.02),
                 bias_init=init.zeros_init)
-        self.drop_path1 = DropPath(self.droppath_rate)
-        self.drop_path2 = DropPath(self.droppath_rate)
         self.mlp_drop = nn.Dropout(self.dropout_rate)
 
-    def __call__(self, x, thw, deterministic: bool = True):
-        x_norm = self.norm1(x)
-        attn_out, thw_new = self.attn(x_norm, thw, deterministic)
+    def _droppath_pair(self, h, h_cls, deterministic):
+        """Stochastic depth (reference transformer.py:34-42) applied with ONE
+        per-sample keep mask shared by the patch and cls parts — in the
+        concatenated form a single (B, 1, 1) draw scales the whole sequence,
+        so the split form must reuse the same draw for both tensors."""
+        if deterministic or self.droppath_rate == 0.0:
+            return h, h_cls
+        keep_prob = 1.0 - self.droppath_rate
+        mask = jnp.floor(keep_prob + jax.random.uniform(
+            self.make_rng("dropout"), (h.shape[0], 1, 1), dtype=h.dtype))
+        h = h / keep_prob * mask
+        if h_cls is not None:
+            h_cls = h_cls / keep_prob * mask
+        return h, h_cls
 
-        # skip-path pooling when Q is strided (pytorchvideo pool_skip)
+    def __call__(self, x, thw, deterministic: bool = True, *, x_cls=None,
+                 split_io: bool = False):
+        if not split_io:
+            x_cls, x = _split_cls(x, self.has_cls_embed)
+        xn = self.norm1(x)
+        xn_cls = self.norm1(x_cls) if x_cls is not None else None
+        (attn_cls, attn_out), thw_new = self.attn(
+            xn, thw, deterministic, x_cls=xn_cls, split_io=True)
+
+        # skip-path pooling when Q is strided (pytorchvideo pool_skip);
+        # split-cls layout: the maxpool touches only the patch tensor
         if len(self.stride_q) > 0 and int(np.prod(self.stride_q)) > 1:
             kernel_skip = [s + 1 if s > 1 else s for s in self.stride_q]
             padding_skip = [int(k // 2) for k in kernel_skip]
-            cls_tok, t = _split_cls(x, self.has_cls_embed)
-            B, L, C = t.shape[0], t.shape[1], t.shape[2]
+            B, L, C = x.shape[0], x.shape[1], x.shape[2]
             T, Hh, Ww = thw
-            t = t.reshape(B, T, Hh, Ww, C)
+            t = x.reshape(B, T, Hh, Ww, C)
             t = _maxpool3d(t, kernel_skip, self.stride_q, padding_skip)
-            t = t.reshape(B, -1, C)
-            if self.has_cls_embed:
-                t = jnp.concatenate([cls_tok, t], axis=1)
-            x_res = t
+            x_res = t.reshape(B, -1, C)
         else:
             x_res = x
 
-        x = x_res + self.drop_path1(attn_out, deterministic=deterministic)
+        attn_out, attn_cls = self._droppath_pair(
+            attn_out, attn_cls, deterministic)
+        x = x_res + attn_out
+        if x_cls is not None:
+            x_cls = x_cls + attn_cls
 
         from videotransformer_tpu import config as vt_config
 
@@ -302,12 +380,26 @@ class MultiScaleBlock(nn.Module):
             np_ = self.norm2.variables["params"]
             p1 = self.mlp_fc1.variables["params"]
             p2 = self.mlp_fc2.variables["params"]
-            h = fused_prenorm_ffn(
-                x.astype(self.dtype),
-                np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
-                p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
-                p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
-                1e-6)
+
+            def fused(t):
+                return fused_prenorm_ffn(
+                    t.astype(self.dtype),
+                    np_["scale"].astype(self.dtype),
+                    np_["bias"].astype(self.dtype),
+                    p1["kernel"].astype(self.dtype),
+                    p1["bias"].astype(self.dtype),
+                    p2["kernel"].astype(self.dtype),
+                    p2["bias"].astype(self.dtype),
+                    1e-6)
+
+            h = fused(x)
+            # the single cls row goes through the same params as plain XLA
+            # math (one token — not worth a kernel launch)
+            if x_cls is not None:
+                xc = self.norm2(x_cls)
+                hc = self.mlp_fc2(nn.gelu(self.mlp_fc1(xc), approximate=False))
+            else:
+                hc = None
         else:
             x_norm2 = self.norm2(x)
             h = self.mlp_fc1(x_norm2)
@@ -315,9 +407,27 @@ class MultiScaleBlock(nn.Module):
             h = self.mlp_drop(h, deterministic=deterministic)
             h = self.mlp_fc2(h)
             h = self.mlp_drop(h, deterministic=deterministic)
+            if x_cls is not None:
+                xc = self.norm2(x_cls)
+                hc = self.mlp_fc1(xc)
+                hc = nn.gelu(hc, approximate=False)
+                hc = self.mlp_drop(hc, deterministic=deterministic)
+                hc = self.mlp_fc2(hc)
+                hc = self.mlp_drop(hc, deterministic=deterministic)
+            else:
+                hc = None
             if self.dim != self.dim_out:
                 x = self.proj(x_norm2)
-        x = x + self.drop_path2(h, deterministic=deterministic)
+                if x_cls is not None:
+                    x_cls = self.proj(xc)
+        h, hc = self._droppath_pair(h, hc, deterministic)
+        x = x + h
+        if x_cls is not None:
+            x_cls = x_cls + hc
+        if split_io:
+            return (x_cls, x), thw_new
+        if x_cls is not None:
+            x = jnp.concatenate([x_cls, x], axis=1)
         return x, thw_new
 
 
@@ -330,7 +440,10 @@ class SpatioTemporalClsPositionalEncoding(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, split_io: bool = False):
+        """x: (B, T*H*W, D) patch tokens. Returns the concatenated
+        (B, 1+THW, D) sequence, or ``(cls, patches)`` when ``split_io``
+        (the split-cls layout the block stack runs in)."""
         B = x.shape[0]
         T, H, W = self.patch_embed_shape
         pos_spatial = self.param(
@@ -339,6 +452,7 @@ class SpatioTemporalClsPositionalEncoding(nn.Module):
         pos_temporal = self.param(
             "pos_embed_temporal", init.trunc_normal_init(std=0.02),
             (1, T, self.embed_dim))
+        cls = None
         if self.has_cls:
             cls_token = self.param(
                 "cls_token", init.trunc_normal_init(std=0.02),
@@ -346,13 +460,17 @@ class SpatioTemporalClsPositionalEncoding(nn.Module):
             pos_class = self.param(
                 "pos_embed_class", init.trunc_normal_init(std=0.02),
                 (1, 1, self.embed_dim))
-            cls = jnp.broadcast_to(cls_token.astype(x.dtype), (B, 1, self.embed_dim))
-            x = jnp.concatenate([cls, x], axis=1)
+            cls = jnp.broadcast_to(
+                (cls_token + pos_class).astype(x.dtype),
+                (B, 1, self.embed_dim))
         pos = jnp.tile(pos_spatial, (1, T, 1)) + jnp.repeat(
             pos_temporal, H * W, axis=1)
-        if self.has_cls:
-            pos = jnp.concatenate([pos_class, pos], axis=1)
-        return x + pos.astype(x.dtype)
+        x = x + pos.astype(x.dtype)
+        if split_io:
+            return cls, x
+        if cls is not None:
+            x = jnp.concatenate([cls, x], axis=1)
+        return x
 
 
 class MultiscaleVisionTransformers(nn.Module):
@@ -366,17 +484,22 @@ class MultiscaleVisionTransformers(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = SpatioTemporalClsPositionalEncoding(
+        # the whole trunk runs in split-cls layout (see MultiScaleAttention);
+        # the cls token is concatenated back exactly once, at the output
+        x_cls, x = SpatioTemporalClsPositionalEncoding(
             embed_dim=self.embed_dim,
             patch_embed_shape=self.patch_embed_shape,
             has_cls=self.cls_embed_on,
             dtype=self.dtype,
-            name="cls_positional_encoding")(x)
+            name="cls_positional_encoding")(x, split_io=True)
         thw = tuple(self.patch_embed_shape)
         for i, cfg in enumerate(self.block_configs):
-            x, thw = MultiScaleBlock(
+            (x_cls, x), thw = MultiScaleBlock(
                 dtype=self.dtype, name=f"blocks_{i}", **cfg)(
-                    x, thw, deterministic=deterministic)
+                    x, thw, deterministic=deterministic, x_cls=x_cls,
+                    split_io=True)
+        if x_cls is not None:
+            x = jnp.concatenate([x_cls, x], axis=1)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_embed")(x)
         return x
 
