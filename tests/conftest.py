@@ -19,9 +19,14 @@ import types
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# jaxlib ships AOT-precompiled XLA:CPU helper kernels built for a different
+# CPU; multi-device compiles load them and spam cpu_aot_loader SIGILL
+# warnings. A non-default compile flag misses the AOT fingerprint so the
+# helpers JIT locally (no-op flag on this single-core host).
+if "parallel_codegen_split_count" not in _flags:
+    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -123,10 +128,11 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True)
 def _reset_sequence_parallel_state():
-    """Sequence-parallel activation sharding is module-global state (set by
-    trainers/tests); guarantee a failing test can't leak an sp-enabled mesh
-    into every later test."""
+    """Sequence/tensor-parallel activation sharding is module-global state
+    (set by trainers/tests); guarantee a failing test can't leak an enabled
+    mesh into every later test."""
     yield
-    from videotransformer_tpu.parallel import sp
+    from videotransformer_tpu.parallel import sp, tp
 
     sp.disable_sequence_parallel()
+    tp.disable_tensor_parallel()

@@ -145,8 +145,14 @@ class Kinetics:
         self.max_decode_retries = max_decode_retries
 
         if self.objective == "mim":
+            # mask grid = img_size / (patch stride 4 * pooling downsample 4):
+            # 14 for the reference's 224 geometry (dataset.py:188 hardwires
+            # (T/2, 14, 14)); derived here so small test geometries work
+            self.mask_grid = getattr(configs, "img_size", 224) // 16
             self.mask_generator = CubeMaskGenerator(
-                input_size=(self.target_video_len // 2, 14, 14), min_num_patches=16)
+                input_size=(self.target_video_len // 2, self.mask_grid,
+                            self.mask_grid),
+                min_num_patches=16)
 
     def __getitem__(self, index):
         from videotransformer_tpu.data.video_reader import VideoReader
@@ -199,7 +205,8 @@ class Kinetics:
 
                 hog_inputs = video.transpose(0, 2, 3, 1)
                 hog_features = np.zeros(
-                    (self.target_video_len, 14, 14, 2 * 2 * 3 * 9), dtype=np.float32)
+                    (self.target_video_len, self.mask_grid, self.mask_grid,
+                     2 * 2 * 3 * 9), dtype=np.float32)
                 for start_frame, span_frame in cube_marker:
                     center_index = start_frame * 2 + span_frame * 2 // 2
                     hog_features[center_index] = extract_hog_features_np(

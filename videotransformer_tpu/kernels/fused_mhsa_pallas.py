@@ -94,13 +94,15 @@ def _neff(n, block_diag):
 
 
 def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
-                 block_diag=0):
+                 block_diag=0, Da=None):
     """Computed scoped-VMEM cap: stay at the 16MB default when everything
     fits (Mosaic pipelines best there — raising it at small N measured
     268 -> 248 clips/s), raise it only when the buffers genuinely need more
-    (long sequences, fp32 inputs, saved-qkv outputs)."""
-    weights = (D * 3 * D + D * D) * itemsize
-    acts = 2 * N * D * itemsize * 2 + N * 3 * D * itemsize
+    (long sequences, fp32 inputs, saved-qkv outputs). ``Da`` is the attention
+    width when it differs from the input width D (tensor-parallel shards)."""
+    Da = D if Da is None else Da
+    weights = (D * 3 * Da + Da * D) * itemsize
+    acts = 2 * N * D * itemsize * 2 + N * 3 * Da * itemsize
     tile = (_score_chunk(N, block_diag) or N) if block_diag else N
     scores = 3 * tile * tile * 4  # per-head fp32 s/p (+dp/ds in backward)
     need = weights + acts + scores
@@ -122,7 +124,10 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             with_qkv=False, block_diag=0):
     x = x_ref[0]  # (N, D)
     N, D = x.shape
-    hd = D // num_heads
+    # attention width from the qkv weight: D/tp under tensor parallelism
+    # (sp.fused_sharded_call runs this kernel per model-shard), D otherwise
+    Da = wqkv_ref.shape[1] // 3
+    hd = Da // num_heads
     C = _score_chunk(N, block_diag) if block_diag else 0
     mask = _block_diag_mask(C or N, block_diag) if block_diag else None
 
@@ -155,8 +160,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     outs = []
     for h in range(num_heads):
         q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, D + h * hd : D + (h + 1) * hd]
-        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        k = qkv[:, Da + h * hd : Da + (h + 1) * hd]
+        v = qkv[:, 2 * Da + h * hd : 2 * Da + (h + 1) * hd]
         if C:
             o = jnp.concatenate(
                 [_sdpa(q[c:c + C], k[c:c + C], v[c:c + C])
@@ -164,7 +169,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         else:
             o = _sdpa(q, k, v)
         outs.append(o)
-    attn_out = jnp.concatenate(outs, axis=-1)  # (N, D)
+    attn_out = jnp.concatenate(outs, axis=-1)  # (N, Da)
     if with_qkv:
         rest[1][0] = attn_out  # saved for the projection backward
 
@@ -182,7 +187,8 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                    block_diag=0):
     """Pure-jnp reference (also the backward recompute path)."""
     B, N, D = x.shape
-    hd = D // num_heads
+    Da = wqkv.shape[1] // 3
+    hd = Da // num_heads
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = ((xf - mean) ** 2).mean(-1, keepdims=True)
@@ -200,7 +206,7 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(x.dtype), v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
-    o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+    o = o.transpose(0, 2, 1, 3).reshape(B, N, Da)
     out = (jnp.einsum("bnd,de->bne", o, wproj,
                       preferred_element_type=jnp.float32)
            + bproj.astype(jnp.float32))
@@ -213,14 +219,17 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
          num_heads, scale, ln_eps, add_residual, with_qkv=False,
          block_diag=0):
     B, N, D = x.shape
+    Da = wqkv.shape[1] // 3  # attention width (= D, or D/tp per model-shard)
+    Do = wproj.shape[1]
+    assert not add_residual or Do == D, (Do, D)
     grid = (B,)
     full = lambda *_: (0, 0)
 
-    out_shape = jax.ShapeDtypeStruct((B, N, D), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((B, N, Do), x.dtype)
     if with_qkv:
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype),
-                     jax.ShapeDtypeStruct((B, N, D), x.dtype))
+                     jax.ShapeDtypeStruct((B, N, 3 * Da), x.dtype),
+                     jax.ShapeDtypeStruct((B, N, Da), x.dtype))
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, add_residual=add_residual,
@@ -231,22 +240,23 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((D, 3 * D), full),
-            pl.BlockSpec((3 * D,), lambda i: (0,)),
-            pl.BlockSpec((D, D), full),
-            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D, 3 * Da), full),
+            pl.BlockSpec((3 * Da,), lambda i: (0,)),
+            pl.BlockSpec((Da, Do), full),
+            pl.BlockSpec((Do,), lambda i: (0,)),
         ],
         out_specs=(
-            (pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
-             pl.BlockSpec((1, N, 3 * D), lambda i: (i, 0, 0)),
-             pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)))
-            if with_qkv else pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))),
+            (pl.BlockSpec((1, N, Do), lambda i: (i, 0, 0)),
+             pl.BlockSpec((1, N, 3 * Da), lambda i: (i, 0, 0)),
+             pl.BlockSpec((1, N, Da), lambda i: (i, 0, 0)))
+            if with_qkv else pl.BlockSpec((1, N, Do), lambda i: (i, 0, 0))),
         compiler_params=_vmem_params(N, D, x.dtype.itemsize, num_heads,
-                                     with_qkv=with_qkv, block_diag=block_diag),
+                                     with_qkv=with_qkv, block_diag=block_diag,
+                                     Da=Da),
         cost_estimate=pl.CostEstimate(
-            flops=B * (2 * N * D * 3 * D + 4 * N * _neff(N, block_diag) * D
-                       + 2 * N * D * D),
-            bytes_accessed=(2 * B * N * D + D * 4 * D) * x.dtype.itemsize,
+            flops=B * (2 * N * D * 3 * Da + 4 * N * _neff(N, block_diag) * Da
+                       + 2 * N * Da * Do),
+            bytes_accessed=(2 * B * N * D + D * 4 * Da) * x.dtype.itemsize,
             transcendentals=B * N * _neff(N, block_diag) * num_heads,
         ),
     )(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj)
@@ -378,13 +388,15 @@ def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
     output gradient for the residual passthrough (None when the caller did
     not add the residual)."""
     B, N, D3 = qkv.shape
-    D = D3 // 3
-    row = lambda: pl.BlockSpec((1, N, D), lambda i: (i, 0, 0))
+    Da = D3 // 3           # attention width (local heads x head_dim)
+    D = x.shape[-1]        # input/output width (full embed dim)
+    row = lambda n: pl.BlockSpec((1, N, n), lambda i: (i, 0, 0))
     operands = [x, qkv, do]
-    in_specs = [row(), pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)), row()]
+    in_specs = [row(D), pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
+                row(Da)]
     if add_residual:
         operands.append(g)
-        in_specs.append(row())
+        in_specs.append(row(D))
     operands += [lns, wqkv]
     in_specs += [pl.BlockSpec((D,), lambda i: (0,)),
                  pl.BlockSpec((D, D3), lambda i: (0, 0))]
@@ -410,7 +422,7 @@ def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
         ),
         compiler_params=_vmem_params(N, D, qkv.dtype.itemsize,
                                      num_heads, bwd=True,
-                                     block_diag=block_diag),
+                                     block_diag=block_diag, Da=Da),
         cost_estimate=pl.CostEstimate(
             flops=B * N * (10 * _neff(N, block_diag) + 2 * D3) * D3 // 3,
             bytes_accessed=5 * B * N * D3 * qkv.dtype.itemsize,

@@ -258,6 +258,31 @@ def init_maskfeat_from_kinetics_pretrain(params, pretrain_path, verbose=True):
     return merged
 
 
+def init_from_orbax_pretrain(params, pretrain_path, verbose=True):
+    """Params-only init from one of THIS framework's own orbax checkpoints
+    (the trainer's ``save_checkpoint`` layout: payload["params"]["model"]).
+
+    This is the native half of the reference's pretrain->finetune handoff
+    (model_trainer.py:72-77): a MaskFeat mim run's last_checkpoint seeds an
+    ``-arch mvit -objective supervised`` finetune. The optimizer state and
+    step counters are deliberately ignored, and the merge is non-strict
+    (``load_state_dict(strict=False)`` semantics) so a mim checkpoint with no
+    cls_head — or a supervised one with an extra cls_head — both load.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(pretrain_path))
+    imported = payload.get("params", payload)
+    if isinstance(imported, dict) and "model" in imported:
+        imported = imported["model"]
+    merged, missing, unexpected = merge_params(params, imported)
+    if verbose:
+        print(f"missing_keys:{missing}\n unexpected_keys:{unexpected}")
+    return merged
+
+
 # ---------------------------------------------------------------------------
 # torch key path -> flax param path
 # ---------------------------------------------------------------------------
@@ -494,16 +519,40 @@ def flax_to_torch_state_dict(
     return out
 
 
+def maskfeat_flax_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Export a flax MaskFeat/MViT param tree with the reference's
+    pytorchvideo naming (inverse of ``surgery_maskfeat_keys``): the generic
+    flax->torch conversion, then ``patch_embed -> patch_embed.patch_model``,
+    ``mlp_fc{1,2} -> mlp.fc{1,2}``, ``attn.pool_*.conv.weight ->
+    attn.pool_*.weight`` (reference video_transformer.py:834-864 +
+    pytorchvideo MultiScaleBlock internals)."""
+    sd = flax_to_torch_state_dict(params)
+    out = {}
+    for k, v in sd.items():
+        nk = k.replace("patch_embed.", "patch_embed.patch_model.")
+        nk = nk.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
+        for pool in ("pool_q", "pool_k", "pool_v"):
+            nk = nk.replace(f"attn.{pool}.conv.weight", f"attn.{pool}.weight")
+        out[nk] = v
+    return out
+
+
 def save_torch_checkpoint(params: Dict[str, Any], path: str,
                           attention_type: str = "divided_space_time",
-                          cls_head: Dict[str, Any] = None) -> None:
+                          cls_head: Dict[str, Any] = None,
+                          arch: str = "timesformer") -> None:
     """Write a reference-loadable .pth: model params (and optionally the cls
     head) under the lightning-style ``model.`` / ``cls_head.`` prefixes that
-    reference replace_state_dict strips (weight_init.py:17-28)."""
+    reference replace_state_dict strips (weight_init.py:17-28).
+    ``arch="mvit"`` exports MaskFeat/MViT trees with pytorchvideo naming."""
     import torch
 
+    if arch == "mvit":
+        flat = maskfeat_flax_to_torch_state_dict(params)
+    else:
+        flat = flax_to_torch_state_dict(params, attention_type)
     sd = {f"model.{k}": torch.from_numpy(np.ascontiguousarray(v))
-          for k, v in flax_to_torch_state_dict(params, attention_type).items()}
+          for k, v in flat.items()}
     if cls_head is not None:
         for k, v in flax_to_torch_state_dict(cls_head).items():
             sd[f"cls_head.{k}"] = torch.from_numpy(np.ascontiguousarray(v))

@@ -303,22 +303,25 @@ class DividedTemporalAttention(nn.Module):
             def _packed_mhsa(rows, lns, lnb, wqkv, bqkv, wproj, bproj):
                 # row-polymorphic: under sequence parallelism this runs per
                 # device shard (jax.shard_map), so the pack group is derived
-                # from the LOCAL row count
+                # from the LOCAL row count; under tensor parallelism the
+                # local head count is derived from the weight SHARD's width
                 s_l = rows.shape[0]
                 g_l = _pack_group(s_l, t_len, max_rows=1024)
+                h_l = wqkv.shape[1] // (3 * head_dim)
                 packed = rows.reshape(s_l // g_l, g_l * t_len, d_)
                 out = fused_prenorm_mhsa(
                     packed, lns, lnb, wqkv, bqkv, wproj, bproj,
-                    num_heads, head_dim**-0.5, 1e-5, False, t_len)
+                    h_l, head_dim**-0.5, 1e-5, False, t_len)
                 return out.reshape(s_l, t_len, d_)
 
-            attn_out = vt_sp.row_sharded_call(
+            attn_out = vt_sp.fused_sharded_call(
                 _packed_mhsa, x.astype(dtype),
                 np_["scale"].astype(dtype), np_["bias"].astype(dtype),
                 ap["qkv"]["kernel"].astype(dtype),
                 ap["qkv"]["bias"].astype(dtype),
                 ap["proj"]["kernel"].astype(dtype),
-                ap["proj"]["bias"].astype(dtype))
+                ap["proj"]["bias"].astype(dtype),
+                qkv_head_dim=head_dim)
         else:
             xn = self.norm(x)
             attn_out, attn_w = self.attn(
@@ -382,18 +385,21 @@ class DividedSpatialAttention(nn.Module):
 
             def _mhsa(rows, lns, lnb, wqkv, bqkv, wproj, bproj):
                 # row-polymorphic over the leading (b·t) axis so it can run
-                # per device shard under sequence parallelism (shard_map)
+                # per device shard under sequence parallelism (shard_map);
+                # head count derived from the (possibly model-sharded) weight
                 return fused_prenorm_mhsa(
                     rows, lns, lnb, wqkv, bqkv, wproj, bproj,
-                    num_heads, head_dim**-0.5, 1e-5, False)
+                    wqkv.shape[1] // (3 * head_dim), head_dim**-0.5,
+                    1e-5, False)
 
-            return vt_sp.row_sharded_call(
+            return vt_sp.fused_sharded_call(
                 _mhsa, x.astype(dtype),
                 np_["scale"].astype(dtype), np_["bias"].astype(dtype),
                 ap["qkv"]["kernel"].astype(dtype),
                 ap["qkv"]["bias"].astype(dtype),
                 ap["proj"]["kernel"].astype(dtype),
-                ap["proj"]["bias"].astype(dtype)), None
+                ap["proj"]["bias"].astype(dtype),
+                qkv_head_dim=head_dim), None
         xn = self.norm(x)
         return self.attn(xn, deterministic=deterministic,
                          need_weights=return_attention)
@@ -490,14 +496,21 @@ class JointAttention(nn.Module):
             np_ = self.norm.variables["params"]
             ap = self.attn.variables["params"]
             head_dim = self.embed_dims // self.num_heads
-            attn_out = fused_prenorm_mhsa(
-                query.astype(self.dtype),
+
+            def _joint_mhsa(rows, lns, lnb, wqkv, bqkv, wproj, bproj):
+                return fused_prenorm_mhsa(
+                    rows, lns, lnb, wqkv, bqkv, wproj, bproj,
+                    wqkv.shape[1] // (3 * head_dim), head_dim**-0.5,
+                    1e-5, False)
+
+            attn_out = vt_sp.fused_sharded_call(
+                _joint_mhsa, query.astype(self.dtype),
                 np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
                 ap["qkv"]["kernel"].astype(self.dtype),
                 ap["qkv"]["bias"].astype(self.dtype),
                 ap["proj"]["kernel"].astype(self.dtype),
                 ap["proj"]["bias"].astype(self.dtype),
-                self.num_heads, head_dim**-0.5, 1e-5, False)
+                qkv_head_dim=head_dim)
         else:
             x = self.norm(query)
             attn_out, attn_w = self.attn(
@@ -566,15 +579,16 @@ class FFN(nn.Module):
                 return _reference_jnp(
                     xx.reshape(b_ * n_, d_), *w, 1e-5).reshape(b_, n_, d_)
 
-            # token_sharded_call: per-shard kernel under sequence parallelism
-            # (rows are independent); plain call otherwise
-            x = vt_sp.token_sharded_call(
+            # fused_sharded_call: per-shard kernel under sequence parallelism
+            # (rows independent) and/or tensor parallelism (hidden neurons
+            # column/row-sharded over 'model'); plain call otherwise
+            x = vt_sp.fused_sharded_call(
                 fused_prenorm_ffn,
                 x.astype(self.dtype),
                 np_["scale"].astype(self.dtype), np_["bias"].astype(self.dtype),
                 p1["kernel"].astype(self.dtype), p1["bias"].astype(self.dtype),
                 p2["kernel"].astype(self.dtype), p2["bias"].astype(self.dtype),
-                head_fn=_jnp_row_ffn)
+                token_major=True, head_fn=_jnp_row_ffn)
         else:
             x = vt_sp.constrain_tokens(x)
             x = self.norm(x)

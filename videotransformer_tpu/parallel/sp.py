@@ -128,6 +128,98 @@ def row_sharded_call(fn, x, *args):
         check_vma=False)(x, *args)
 
 
+def fused_sharded_call(fn, x, lns, lnb, w_col, b_col, w_row, b_row,
+                       token_major=False, head_fn=None, qkv_head_dim=None):
+    """Dispatch a fused LN -> column-matmul -> ... -> row-matmul op (the
+    Pallas prenorm-MHSA or prenorm-FFN kernels share this exact weight
+    pattern) across whatever parallelism is active:
+
+    - neither sp nor tp: plain ``fn(x, lns, lnb, w_col, b_col, w_row, b_row)``.
+    - sp only: rows over (data, seq) via row_sharded_call / token_sharded_call
+      with replicated weights (the original behavior).
+    - tp (optionally + sp): ONE shard_map over the mesh — rows over
+      (data[, seq]), ``w_col``/``b_col`` column-sharded and ``w_row``
+      row-sharded over 'model' (matching parallel/tp.shard_params_tp), a
+      psum over 'model' of the partial row-matmul output inside the body,
+      and the row bias added OUTSIDE the shard_map (one add in pjit land, so
+      its gradient is exact — an in-body add after the psum would get its
+      cotangent over-reduced by the shard_map transpose).
+
+    ``qkv_head_dim``: set to the per-head dim for MHSA weights — the fused
+    QKV layout is [q|k|v], so a contiguous 'model' shard is not a valid
+    local QKV block; the columns are permuted into per-head-group [q|k|v]
+    blocks first (tp.qkv_head_block_perm). ``fn`` must derive its head count
+    from the weight shard's shape, not a static config value.
+
+    Falls back to the gathered/XLA-managed path (plain fn) when shapes don't
+    divide the mesh — correct, just slower.
+    """
+    from videotransformer_tpu.parallel import tp as vt_tp
+
+    if not vt_tp.active():
+        if token_major:
+            return token_sharded_call(
+                fn, x, lns, lnb, w_col, b_col, w_row, b_row, head_fn=head_fn)
+        return row_sharded_call(fn, x, lns, lnb, w_col, b_col, w_row, b_row)
+
+    mesh = vt_tp._STATE["mesh"]
+    model_ax = vt_tp._STATE["axis"]
+    data_ax = vt_tp._STATE["data_axis"]
+    seq_ax = vt_tp._STATE["seq_axis"]
+    shape = dict(mesh.shape)
+    tpn = shape[model_ax]
+    dp = shape.get(data_ax, 1)
+    spn = shape.get(seq_ax, 1) if active() else 1
+
+    # divisibility guards -> gathered fallback
+    n_cols = w_col.shape[1]
+    if qkv_head_dim is not None:
+        heads = n_cols // (3 * qkv_head_dim)
+        divisible = heads % tpn == 0 and w_row.shape[0] % tpn == 0
+    else:
+        divisible = n_cols % tpn == 0 and w_row.shape[0] % tpn == 0
+    if token_major:
+        rows_ok = x.shape[0] % dp == 0
+    else:
+        rows_ok = x.shape[0] % (dp * spn) == 0
+    if not (divisible and rows_ok):
+        return fn(x, lns, lnb, w_col, b_col, w_row, b_row)
+
+    if qkv_head_dim is not None:
+        perm = vt_tp.qkv_head_block_perm(w_row.shape[0], heads, tpn)
+        w_col = w_col[:, perm]
+        b_col = b_col[perm]
+
+    def body(xl, lns_, lnb_, wc, bc, wr):
+        out = fn(xl, lns_, lnb_, wc, bc, wr,
+                 jnp.zeros((wr.shape[-1],), xl.dtype))
+        return jax.lax.psum(out, model_ax)
+
+    if token_major:
+        spec_x = P(data_ax, seq_ax if spn > 1 else None,
+                   *([None] * (x.ndim - 2)))
+    else:
+        spec_x = P((data_ax, seq_ax) if spn > 1 else data_ax,
+                   *([None] * (x.ndim - 1)))
+    in_specs = (spec_x, P(), P(), P(None, model_ax), P(model_ax),
+                P(model_ax, None))
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                            out_specs=spec_x, check_vma=False)
+
+    n = x.shape[1]
+    if token_major and spn > 1 and n % spn:
+        # cls-token peel (see token_sharded_call): head row through the jnp
+        # twin on full (sharded-in-pjit-land) weights
+        if n > 1 and (n - 1) % spn == 0 and head_fn is not None:
+            head = head_fn(x[:, :1], lns, lnb, w_col, b_col, w_row, b_row)
+            tail = sharded(x[:, 1:], lns, lnb, w_col, b_col, w_row) + b_row
+            return jnp.concatenate([head.astype(x.dtype),
+                                    tail.astype(x.dtype)], axis=1)
+        return fn(x, lns, lnb, w_col, b_col, w_row, b_row)
+    out = sharded(x, lns, lnb, w_col, b_col, w_row) + b_row
+    return out.astype(x.dtype)
+
+
 def ring_eligible(x) -> bool:
     """Ring attention preconditions: sp on, batch divisible by the data axis,
     and at least one token per seq shard."""

@@ -14,12 +14,59 @@ through the attention-head reshapes (head count must divide the model-axis
 size: 12 heads -> model in {1, 2, 3, 4, 6, 12}).
 """
 
+import numpy as np
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 COLUMN_KERNELS = ("qkv", "layers_0", "mlp_fc1")
 ROW_KERNELS = ("proj", "layers_1", "mlp_fc2")
+
+# Runtime activation state for the fused-kernel path (mirrors parallel/sp.py:
+# flax modules are pure, so the mesh lives here as an explicitly-set module
+# global). When active, the fused Pallas MHSA/FFN kernels run PER model-shard
+# under jax.shard_map (sp.fused_sharded_call) instead of forcing their
+# sharded weight operands gathered (pallas_call has no SPMD partitioning
+# rule). The trainer enables it when ``-tp > 1``.
+_STATE = {"mesh": None, "axis": "model", "data_axis": "data",
+          "seq_axis": "seq"}
+
+
+def enable_tensor_parallel(mesh: Mesh, axis: str = "model",
+                           data_axis: str = "data",
+                           seq_axis: str = "seq") -> None:
+    assert axis in mesh.axis_names, (axis, mesh.axis_names)
+    _STATE.update(mesh=mesh, axis=axis, data_axis=data_axis,
+                  seq_axis=seq_axis)
+
+
+def disable_tensor_parallel() -> None:
+    _STATE["mesh"] = None
+
+
+def active() -> bool:
+    m = _STATE["mesh"]
+    return m is not None and dict(m.shape).get(_STATE["axis"], 1) > 1
+
+
+def tp_size() -> int:
+    return dict(_STATE["mesh"].shape)[_STATE["axis"]] if active() else 1
+
+
+def qkv_head_block_perm(embed_dims: int, num_heads: int, tp: int) -> np.ndarray:
+    """Column permutation turning the fused-QKV kernel's ``[q|k|v]`` layout
+    into ``[q_g0|k_g0|v_g0 | q_g1|k_g1|v_g1 | ...]`` over ``tp`` head groups,
+    so a contiguous 'model' shard is itself a valid [q|k|v] block for its
+    local heads (what the per-shard fused MHSA kernel consumes)."""
+    d = embed_dims
+    ghd = (num_heads // tp) * (d // num_heads)  # columns per head group
+    blocks = []
+    for g in range(tp):
+        for part in range(3):  # q, k, v
+            base = part * d + g * ghd
+            blocks.append(np.arange(base, base + ghd))
+    return np.concatenate(blocks)
 
 
 def tp_spec(path_parts, leaf) -> P:

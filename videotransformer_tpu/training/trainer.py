@@ -123,11 +123,18 @@ class VideoTransformerTrainer:
         # state is module-global (flax modules are pure), so the most recently
         # constructed trainer owns it — a seq=1 trainer explicitly clears it
         from videotransformer_tpu.parallel import sp as _sp
+        from videotransformer_tpu.parallel import tp as _tp
 
         if dict(self.mesh.shape).get("seq", 1) > 1:
             _sp.enable_sequence_parallel(self.mesh)
         else:
             _sp.disable_sequence_parallel()
+        # tensor parallelism: the fused Pallas kernels must run per
+        # model-shard (sp.fused_sharded_call); same module-global pattern
+        if dict(self.mesh.shape).get("model", 1) > 1:
+            _tp.enable_tensor_parallel(self.mesh)
+        else:
+            _tp.disable_tensor_parallel()
         self.objective = configs.objective
         self.supervised = configs.objective == "supervised"
         self.linear_prob = (
@@ -182,7 +189,21 @@ class VideoTransformerTrainer:
             weights_from = getattr(configs, "weights_from", "imagenet")
             att = getattr(configs, "attention_type", "divided_space_time")
             conv_type = "Conv3d" if configs.arch == "vivit" else "Conv2d"
-            if weights_from == "imagenet":
+            if os.path.isdir(pretrain_pth):
+                # one of our own orbax checkpoints (a directory, vs the
+                # torch .pth files below): params-only, non-strict — this is
+                # how a MaskFeat mim run's last_checkpoint seeds an mvit
+                # supervised finetune (reference model_trainer.py:72-77)
+                params["model"] = convert.init_from_orbax_pretrain(
+                    params["model"], pretrain_pth)
+            elif self.is_mvit or self.objective == "mim":
+                # MaskFeat/MViT builds route through the MaskFeat key surgery
+                # regardless of weights_from (reference model_trainer.py:72-77
+                # -> video_transformer.py:866-870 init_weights always calls
+                # init_from_kinetics_pretrain_)
+                params["model"] = convert.init_maskfeat_from_kinetics_pretrain(
+                    params["model"], pretrain_pth)
+            elif weights_from == "imagenet":
                 params["model"] = convert.init_from_vit_pretrain(
                     params["model"], pretrain_pth, conv_type, att, "repeat")
             elif weights_from == "kinetics":
