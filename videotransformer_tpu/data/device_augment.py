@@ -169,10 +169,187 @@ def color_jitter(key, clip, brightness, contrast, saturation, hue):
     return jax.lax.fori_loop(0, 4, body, clip)
 
 
+# ---------------------------------------------------------------------------
+# Device-side RandAugment (parity target: data/rand_augment.py, which itself
+# mirrors torchvision's num_ops=2/magnitude=9/31-bin policy the reference
+# enables via -auto_augment, data_transform.py:518-529). All 14 ops run as one
+# jit-able lax.switch per draw; the host class is the numerics golden.
+# ---------------------------------------------------------------------------
+
+def _affine_nearest(clip, m):
+    """Nearest-neighbor warp of (T, H, W, C) by a FORWARD 2x3 matrix with
+    cv2.warpAffine semantics (matrix inverted internally, fill=0, nearest =
+    floor(src + 0.5)). The host twin is rand_augment._affine_clip."""
+    H, W = clip.shape[1], clip.shape[2]
+    a, b, c = m[0][0], m[0][1], m[0][2]
+    d, e, f = m[1][0], m[1][1], m[1][2]
+    det = a * e - b * d
+    X, Y = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                        jnp.arange(H, dtype=jnp.float32))
+    sx = (e * (X - c) - b * (Y - f)) / det
+    sy = (-d * (X - c) + a * (Y - f)) / det
+    xi = jnp.floor(sx + 0.5).astype(jnp.int32)
+    yi = jnp.floor(sy + 0.5).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    out = clip[:, jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1), :]
+    return jnp.where(valid[None, :, :, None], out, 0.0)
+
+
+def ra_shear(clip, sx=0.0, sy=0.0):
+    H, W = clip.shape[1], clip.shape[2]
+    cx, cy = W * 0.5, H * 0.5
+    return _affine_nearest(clip, ((1.0, sx, -sx * cy), (sy, 1.0, -sy * cx)))
+
+
+def ra_translate(clip, tx=0.0, ty=0.0):
+    # host: int(mag * size) truncates toward zero
+    return _affine_nearest(
+        clip, ((1.0, 0.0, jnp.trunc(tx)), (0.0, 1.0, jnp.trunc(ty))))
+
+
+def ra_rotate(clip, deg):
+    H, W = clip.shape[1], clip.shape[2]
+    cx, cy = W * 0.5, H * 0.5
+    rad = deg * (math.pi / 180.0)
+    al, be = jnp.cos(rad), jnp.sin(rad)
+    return _affine_nearest(
+        clip, ((al, be, (1.0 - al) * cx - be * cy),
+               (-be, al, be * cx + (1.0 - al) * cy)))
+
+
+def ra_brightness(clip, mag):
+    return jnp.clip(clip * (1.0 + mag), 0.0, 255.0)
+
+
+def ra_color(clip, mag):
+    return jnp.clip((1.0 + mag) * clip - mag * _rgb_to_gray(clip), 0.0, 255.0)
+
+
+def ra_contrast(clip, mag):
+    # host: per-CLIP mean of the gray image (axis (-3,-2,-1) of (T,C,H,W)
+    # is (C,H,W) per frame... gray has C=1, so it is a per-frame mean)
+    mean = _rgb_to_gray(clip).mean(axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip((1.0 + mag) * clip - mag * mean, 0.0, 255.0)
+
+
+def ra_sharpness(clip, mag):
+    """factor*x + (1-factor)*smooth, PIL SMOOTH kernel, replicate border in
+    the conv, 1-pixel border left unsmoothed (host rand_augment._sharpness)."""
+    T_, H, W, C = clip.shape
+    factor = 1.0 + mag
+    x = clip.transpose(0, 3, 1, 2).reshape(T_ * C, 1, H, W)
+    pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    k = jnp.asarray([[1, 1, 1], [1, 5, 1], [1, 1, 1]], jnp.float32) / 13.0
+    sm = jax.lax.conv_general_dilated(pad, k[None, None], (1, 1), "VALID")
+    border = jnp.zeros((H, W), bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    sm = jnp.where(border[None, None], x, sm)
+    out = jnp.clip(factor * x + (1.0 - factor) * sm, 0.0, 255.0)
+    return out.reshape(T_, C, H, W).transpose(0, 2, 3, 1)
+
+
+def ra_posterize(clip, bits):
+    mask = 255 - (2 ** (8 - bits) - 1)
+    return (clip.astype(jnp.uint8) & jnp.uint8(mask)).astype(clip.dtype)
+
+
+def ra_solarize(clip, threshold):
+    return jnp.where(clip >= threshold, 255.0 - clip, clip)
+
+
+def ra_autocontrast(clip):
+    # per frame, per channel (host rand_augment._autocontrast)
+    lo = clip.min(axis=(1, 2), keepdims=True)
+    hi = clip.max(axis=(1, 2), keepdims=True)
+    scale = jnp.where(hi > lo, 255.0 / jnp.maximum(hi - lo, 1e-6), 1.0)
+    out = jnp.where(hi > lo, (clip - lo) * scale, clip)
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def ra_equalize(clip):
+    """cv2.equalizeHist per frame/channel: lut[i] = round((cdf[i] -
+    cdf[first_nonzero]) * 255 / (total - hist[first_nonzero])), identity when
+    a single gray level fills the image."""
+    T_, H, W, C = clip.shape
+    u8 = jnp.clip(clip, 0.0, 255.0).astype(jnp.uint8)
+    flat = u8.transpose(0, 3, 1, 2).reshape(T_ * C, H * W).astype(jnp.int32)
+
+    def eq(v):
+        hist = jnp.bincount(v, length=256)
+        first = jnp.argmax(hist > 0)
+        hf = hist[first]
+        total = v.shape[0]
+        scale = 255.0 / jnp.maximum(total - hf, 1).astype(jnp.float32)
+        cdf = jnp.cumsum(hist)
+        lut = jnp.clip(jnp.rint((cdf - cdf[first]).astype(jnp.float32)
+                                * scale), 0.0, 255.0)
+        lut = jnp.where(hf == total,
+                        jnp.arange(256, dtype=jnp.float32), lut)
+        return lut[v]
+
+    out = jax.vmap(eq)(flat).reshape(T_, C, H, W).transpose(0, 2, 3, 1)
+    return out.astype(clip.dtype)
+
+
+def _ra_magnitudes(magnitude, bins):
+    """Static per-op magnitude at the chosen index (host RandAugment._space)."""
+    import numpy as np
+
+    lin = lambda a, b: float(np.linspace(a, b, bins)[magnitude])
+    return {
+        "shear": lin(0.0, 0.3),
+        "translate": lin(0.0, 150.0 / 331.0),
+        "rotate": lin(0.0, 30.0),
+        "photo": lin(0.0, 0.9),
+        "posterize": int(8 - round(magnitude / ((bins - 1) / 4))),
+        "solarize": lin(255.0, 0.0),
+    }
+
+
+def rand_augment_clip(key, clip, num_ops=2, magnitude=9, bins=31):
+    """Device RandAugment on one clip (T, S, S, C) float32 in [0, 255]:
+    num_ops draws from the 14-op space, clip-consistent (one draw applies to
+    all frames), magnitudes static, signs random — the host class
+    (data/rand_augment.py) is the op-level numerics golden."""
+    m = _ra_magnitudes(magnitude, bins)
+    H, W = clip.shape[1], clip.shape[2]
+
+    branches = [
+        lambda x, s: x,                                        # Identity
+        lambda x, s: ra_shear(x, sx=s * m["shear"]),           # ShearX
+        lambda x, s: ra_shear(x, sy=s * m["shear"]),           # ShearY
+        lambda x, s: ra_translate(x, tx=s * m["translate"] * W),
+        lambda x, s: ra_translate(x, ty=s * m["translate"] * H),
+        lambda x, s: ra_rotate(x, s * m["rotate"]),            # Rotate
+        lambda x, s: ra_brightness(x, s * m["photo"]),
+        lambda x, s: ra_color(x, s * m["photo"]),
+        lambda x, s: ra_contrast(x, s * m["photo"]),
+        lambda x, s: ra_sharpness(x, s * m["photo"]),
+        lambda x, s: ra_posterize(x, m["posterize"]),
+        lambda x, s: ra_solarize(x, m["solarize"]),
+        lambda x, s: ra_autocontrast(x),
+        lambda x, s: ra_equalize(x),
+    ]
+
+    for _ in range(num_ops):
+        key, k_op, k_sign = jax.random.split(key, 3)
+        op = jax.random.randint(k_op, (), 0, len(branches))
+        sign = jnp.where(jax.random.uniform(k_sign) > 0.5, -1.0, 1.0)
+        clip = jax.lax.switch(
+            op, [partial(b, s=sign) for b in branches], clip)
+    return clip
+
+
 def augment_clip(key, clip, out_size=224, scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), hflip=0.5, color=(0.4, 0.4, 0.4, 0.0),
+                 auto_augment=False,
                  mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225)):
-    """One clip (T, H, W, C) uint8 -> (T, C, S, S) normalized float32."""
+    """One clip (T, H, W, C) uint8 -> (T, C, S, S) normalized float32.
+
+    ``auto_augment=True`` inserts RandAugment after crop+flip and disables
+    color jitter — the reference's RandAugment-OR-ColorJitter rule
+    (data_transform.py:519-529)."""
     k_rrc, k_flip, k_jit = jax.random.split(key, 3)
     clip = clip.astype(jnp.float32)
     T_, H, W, C = clip.shape
@@ -180,7 +357,9 @@ def augment_clip(key, clip, out_size=224, scale=(0.08, 1.0),
     out = resized_crop(clip, top, left, ch, cw, out_size, out_size)
     do_flip = jax.random.uniform(k_flip) < hflip
     out = jnp.where(do_flip, out[:, :, ::-1, :], out)
-    if any(color):
+    if auto_augment:
+        out = rand_augment_clip(k_jit, out)
+    elif any(color):
         out = color_jitter(k_jit, out, *color)
     out = out / 255.0
     mean = jnp.asarray(mean, jnp.float32)
@@ -190,14 +369,16 @@ def augment_clip(key, clip, out_size=224, scale=(0.08, 1.0),
 
 
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "hflip",
-                                   "color", "mean", "std"))
+                                   "color", "auto_augment", "mean", "std"))
 def augment_batch(key, batch, out_size=224, scale=(0.08, 1.0),
                   ratio=(3 / 4, 4 / 3), hflip=0.5, color=(0.4, 0.4, 0.4, 0.0),
+                  auto_augment=False,
                   mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225)):
     """batch (B, T, H, W, C) uint8 -> (B, T, C, S, S); one key per clip."""
     keys = jax.random.split(key, batch.shape[0])
     fn = partial(augment_clip, out_size=out_size, scale=scale, ratio=ratio,
-                 hflip=hflip, color=color, mean=mean, std=std)
+                 hflip=hflip, color=color, auto_augment=auto_augment,
+                 mean=mean, std=std)
     return jax.vmap(fn)(keys, batch)
 
 

@@ -360,6 +360,7 @@ class VideoTransformerTrainer:
                         hflip=getattr(cfg, "aug_hflip", 0.5),
                         color=tuple(getattr(cfg, "aug_color",
                                             (0.4, 0.4, 0.4, 0.0))),
+                        auto_augment=bool(getattr(cfg, "auto_augment", None)),
                         mean=mean, std=std)
                     labels = batch["label"]
                 else:
