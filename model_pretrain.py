@@ -88,6 +88,10 @@ def parse_args(argv=None):
     # TPU-native extension (not in the reference): decode fixed-size uint8
     # clips and run all train augmentation on device inside the jitted step
     parser.add_argument("-device_augment", type=bool, default=False)
+    parser.add_argument("-device_hog", type=bool, default=False,
+                        help="mim only: compute HOG targets on device inside "
+                             "the jitted step instead of the host per-frame "
+                             "loop (implied by -device_augment)")
     parser.add_argument("-aug_scale", type=float, nargs=2, default=[0.08, 1.0],
                         help="RandomResizedCrop area range of the device "
                              "augment path (timm default 0.08 1.0)")

@@ -65,6 +65,122 @@ def test_mim_train_step(mim_trainer, with_hog):
     tr.params, tr.opt_state = params, opt_state
 
 
+DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
+                    reason="demo clip absent")
+def test_device_hog_matches_host_on_real_clip(tmp_path):
+    """The device HOG target path (trainer input fusion) equals the host
+    per-frame loop (reference dataset.py:39-45, 190-196) on a real decoded
+    clip at fp32 tolerance — same crop, same mask draw."""
+    import numpy as np
+
+    from videotransformer_tpu.data import transforms as T
+    from videotransformer_tpu.data.dataset import Kinetics
+    from videotransformer_tpu.data.hog import batched_hog_targets
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text(f"{DEMO_MP4}\tabseiling\n")
+    cfg = _cfg(num_frames=4, img_size=64, num_samples_per_cls=1000)
+    tf = T.create_video_transform(
+        objective="mim", input_size=64, is_training=True, scale=(0.5, 1.0),
+        color_jitter=None, interpolation="bicubic",
+        mean=(0.45,) * 3, std=(0.225,) * 3)
+    ds = Kinetics(cfg, str(ann), transform=tf,
+                  temporal_sample=T.TemporalRandomCrop(8),
+                  host_hog_targets=True)
+
+    def draw(host):
+        ds.host_hog_targets = host
+        T.seed_transforms(11)
+        ds.mask_generator.rng = np.random.default_rng(11)
+        return ds[0]
+
+    _, hog_host, mask_h, marker_h = draw(True)
+    _, raw, mask_d, marker_d = draw(False)
+    np.testing.assert_array_equal(mask_h, mask_d)
+    assert marker_h == marker_d
+
+    # device targets from the un-normalized pre-transform clip, at the cube
+    # center frames only (what trainer._build_train_step computes)
+    frames = raw.transpose(0, 2, 3, 1)  # (T, H, W, C)
+    for start, span in marker_h:
+        center = start * 2 + span * 2 // 2
+        dev = np.asarray(batched_hog_targets(frames[center][None]))[0]
+        np.testing.assert_allclose(dev, hog_host[center], atol=2e-3)
+    # non-center frames are zero in the host buffer
+    centers = {s * 2 + p * 2 // 2 for s, p in marker_h}
+    for t in range(hog_host.shape[0]):
+        if t not in centers:
+            assert np.abs(hog_host[t]).max() == 0.0
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
+                    reason="demo clip absent")
+def test_cli_mim_device_hog(tmp_path, monkeypatch):
+    """-objective mim -device_hog True through the CLI: the data module stops
+    computing host HOG, batches carry the raw clip, and the run trains
+    (trainer.py device-HOG branch exercised end to end)."""
+    import os
+
+    from videotransformer_tpu.models.maskfeat import MaskFeat
+    from videotransformer_tpu.parallel import mesh as mesh_mod
+    from videotransformer_tpu.training import trainer as trainer_mod
+
+    def _tiny(configs):
+        return MaskFeat(
+            img_size=configs.img_size, num_frames=configs.num_frames, depth=4,
+            embed_dim_mul=((1, 2.0), (3, 2.0)),
+            atten_head_mul=((1, 2.0), (3, 2.0)),
+            pool_q_stride_size=((1, 1, 2, 2), (3, 1, 2, 2)),
+            feature_dim=2 * 2 * 2 * 3 * 9)
+
+    monkeypatch.setattr(trainer_mod, "build_model", _tiny)
+    orig_create = mesh_mod.create_mesh
+    monkeypatch.setattr(
+        trainer_mod, "create_mesh",
+        lambda *a, **k: orig_create(devices=jax.devices()[:1]))
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(4)))
+
+    import model_pretrain
+
+    argv = [
+        "-epoch", "1", "-batch_size", "2", "-num_workers", "1",
+        "-num_class", "400", "-num_frames", "6", "-frame_interval", "2",
+        "-img_size", "64", "-objective", "mim", "-arch", "mvit",
+        "-lr", "8e-4", "-warmup_epochs", "1", "-root_dir", str(tmp_path),
+        "-train_data_path", str(ann), "-log_interval", "1",
+        "-device_hog", "True",
+    ]
+    tr = model_pretrain.single_run(argv)
+    assert tr.global_step == 2
+
+
+def test_data_module_device_hog_batches(tmp_path):
+    """KineticsDataModule with device_hog: host_hog_targets off, mim batches
+    carry the raw clip ('raw'), not precomputed 'hog'."""
+    import os
+
+    if not os.path.exists(DEMO_MP4):
+        pytest.skip("demo clip absent")
+    from videotransformer_tpu.training.data_module import KineticsDataModule
+
+    ann = tmp_path / "ann.txt"
+    ann.write_text("".join(f"{DEMO_MP4}\tabseiling\n" for _ in range(2)))
+    cfg = _cfg(num_frames=4, img_size=64, frame_interval=2,
+               num_samples_per_cls=1000, device_hog=True, num_workers=1,
+               batch_size=2)
+    dm = KineticsDataModule(cfg, train_ann_path=str(ann))
+    assert dm.host_hog_targets is False
+    batch = next(iter(dm.train_loader()))
+    assert "raw" in batch and "hog" not in batch
+    assert batch["raw"].shape == (2, 4, 3, 64, 64)
+    assert batch["video"].shape == (2, 4, 3, 64, 64)
+
+
 def test_mvit_supervised_features():
     """mvit supervised uses forward_features(x)[:, 0] (model_trainer.py:203-204)."""
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer

@@ -62,6 +62,15 @@ class KineticsDataModule:
 
         self.device_augment = bool(getattr(cfg, "device_augment", False)) \
             and cfg.objective == "supervised"
+        # device-side HOG for mim: -device_augment (or the narrower
+        # -device_hog) moves the per-frame host HOG loop (reference
+        # dataset.py:39-45, 190-196) into the jitted train step — the dataset
+        # ships the un-normalized pre-transform clip instead and
+        # trainer._build_train_step computes targets inside the input fusion
+        if cfg.objective == "mim" and (
+                bool(getattr(cfg, "device_augment", False))
+                or bool(getattr(cfg, "device_hog", False))):
+            self.host_hog_targets = False
 
         self.train_dataset = None
         if self.train_ann_path and self.device_augment:
