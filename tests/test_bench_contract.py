@@ -1,6 +1,8 @@
 """Driver contract: bench.py must print exactly one JSON line with the agreed
 keys, and __graft_entry__ must expose entry() and dryrun_multichip()."""
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -14,6 +16,7 @@ def test_graft_entry_surface():
     assert callable(ge.dryrun_multichip)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_contract():
     """Run the dryrun EXACTLY like the driver: a fresh process whose env does
     NOT pre-force virtual CPU devices (round 1 shipped a regression precisely

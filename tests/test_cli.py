@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / CLI+serving integration
+
 DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
 
 

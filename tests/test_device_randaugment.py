@@ -168,6 +168,7 @@ def test_augment_batch_auto_augment_path():
     np.testing.assert_array_equal(np.asarray(out_aa), np.asarray(out_aa2))
 
 
+@pytest.mark.slow
 def test_trainer_device_augment_respects_auto_augment(monkeypatch):
     """End to end through the jitted train step: -device_augment True
     -auto_augment 'rand_aug' changes the augmented pixels vs no auto_augment

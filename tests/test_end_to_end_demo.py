@@ -15,6 +15,8 @@ import torch
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
+
 DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
 
 

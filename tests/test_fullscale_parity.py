@@ -32,6 +32,8 @@ from videotransformer_tpu.models.convert import (
 from parity_utils import torch_state_to_flax, assert_close
 from test_checkpoint_surgery import _assert_imported_leaves_equal
 
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
+
 DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
 
 EMBED, LAYERS, HEADS, PATCHES = 768, 12, 12, 196  # ViT-B/16 @ 224^2

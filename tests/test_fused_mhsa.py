@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy compiles / CLI+serving integration
+
 
 def _args(B=3, N=65, D=64, seed=0):
     rng = np.random.RandomState(seed)

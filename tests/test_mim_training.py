@@ -52,6 +52,7 @@ def _mim_batch(tr, with_hog):
     return shard_batch(tr.mesh, batch)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("with_hog", [True, False])
 def test_mim_train_step(mim_trainer, with_hog):
     tr = mim_trainer
@@ -70,6 +71,7 @@ DEMO_MP4 = "/root/reference/demo/YABnJL_bDzw.mp4"
 
 @pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
                     reason="demo clip absent")
+@pytest.mark.slow
 def test_device_hog_matches_host_on_real_clip(tmp_path):
     """The device HOG target path (trainer input fusion) equals the host
     per-frame loop (reference dataset.py:39-45, 190-196) on a real decoded
@@ -118,6 +120,7 @@ def test_device_hog_matches_host_on_real_clip(tmp_path):
 
 @pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
                     reason="demo clip absent")
+@pytest.mark.slow
 def test_cli_mim_device_hog(tmp_path, monkeypatch):
     """-objective mim -device_hog True through the CLI: the data module stops
     computing host HOG, batches carry the raw clip, and the run trains
@@ -181,6 +184,7 @@ def test_data_module_device_hog_batches(tmp_path):
     assert batch["video"].shape == (2, 4, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_mvit_supervised_features():
     """mvit supervised uses forward_features(x)[:, 0] (model_trainer.py:203-204)."""
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer

@@ -5,6 +5,8 @@ assert the loss/grad_norm trajectories are identical across processes AND
 equal to a single-process run over the full global batch — proving the
 cross-process gradient all-reduce and shard_local_batch assembly."""
 
+import pytest
+
 import os
 import re
 import socket
@@ -12,6 +14,8 @@ import subprocess
 import sys
 
 import numpy as np
+
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_train_worker.py")

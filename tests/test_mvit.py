@@ -12,6 +12,8 @@ from videotransformer_tpu.models.maskfeat import MaskFeat
 from videotransformer_tpu.models.mvit import (
     MultiScaleAttention, build_mvit_block_configs, round_width)
 
+pytestmark = pytest.mark.slow  # heavy compiles / CLI+serving integration
+
 
 def test_round_width():
     # values the reference path produces (video_transformer.py:755-761)

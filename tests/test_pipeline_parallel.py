@@ -3,6 +3,8 @@ mesh axis must be numerically identical to running the block stack
 sequentially — forward AND backward (microbatch gradient accumulation) —
 with the per-stage parameters physically sharded."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -11,6 +13,8 @@ from jax.sharding import Mesh
 
 from videotransformer_tpu.models import TimeSformer
 from videotransformer_tpu.parallel import pp
+
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
 
 
 def _pipe_mesh(p=4):

@@ -17,6 +17,8 @@ from videotransformer_tpu.parallel.mesh import shard_batch
 from videotransformer_tpu.training.pp_trainer import PipelineTrainer
 from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
+
 
 def _cfg(**over):
     cfg = dict(

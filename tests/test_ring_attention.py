@@ -19,6 +19,8 @@ from videotransformer_tpu.parallel.mesh import create_mesh, shard_batch
 from videotransformer_tpu.training import trainer as trainer_mod
 from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
+
 
 def _mesh(d=2, s=2):
     return create_mesh(data=d, seq=s, devices=jax.devices()[: d * s])

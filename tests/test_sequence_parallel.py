@@ -7,6 +7,8 @@ replicated-DP baseline; the shard_map-wrapped Pallas kernels (the path a real
 TPU pod executes) are checked in interpret mode on the CPU mesh.
 """
 
+import pytest
+
 from types import SimpleNamespace
 
 import numpy as np
@@ -19,6 +21,8 @@ from videotransformer_tpu.parallel import sp as vt_sp
 from videotransformer_tpu.parallel.mesh import create_mesh, shard_batch
 from videotransformer_tpu.training import trainer as trainer_mod
 from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+pytestmark = pytest.mark.slow  # heavy compiles / full-scale / multi-process
 
 
 def _tiny(configs):

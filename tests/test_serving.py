@@ -12,6 +12,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy compiles / CLI+serving integration
+
 DEMO_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "videotransformer_tpu", "data", "assets", "demo")

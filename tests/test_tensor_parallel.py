@@ -51,6 +51,7 @@ def _cfg():
         eval_metrics="finetune", layer_decay=1.0)
 
 
+@pytest.mark.slow
 def test_tp_step_matches_dp(monkeypatch):
     monkeypatch.setattr(trainer_mod, "build_model", _tiny)
     cfg = _cfg()

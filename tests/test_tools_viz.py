@@ -34,6 +34,7 @@ def test_visualize_attention_smoke(tmp_path):
         assert img.std() > 0  # not a constant image
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(ASSETS), reason="demo assets not built")
 def test_visualize_maskfeat_smoke(tmp_path):
     from videotransformer_tpu.tools import visualize_maskfeat as vm

@@ -20,6 +20,8 @@ from videotransformer_tpu.parallel import tp as vt_tp
 from videotransformer_tpu.parallel.mesh import create_mesh
 from videotransformer_tpu.parallel.tp import shard_params_tp
 
+pytestmark = pytest.mark.slow  # heavy compiles / CLI+serving integration
+
 
 @pytest.fixture
 def pallas_backend():

@@ -304,6 +304,7 @@ def test_eval_padding_on_mesh(monkeypatch):
     assert int(stats3["bs"]) == 5
 
 
+@pytest.mark.slow
 def test_remat_same_outputs_and_grads():
     """remat=True must not change forward values or gradients."""
     from videotransformer_tpu.models import TimeSformer
@@ -362,6 +363,7 @@ def test_mim_periodic_checkpoint(monkeypatch, tmp_path):
     assert any("_ep_0" in n for n in names), names
 
 
+@pytest.mark.slow
 def test_overfit_tiny_subset(monkeypatch):
     """Convergence evidence at unit scale: the full train step (AdamW, cosine
     schedule machinery, grad clip) drives a tiny TimeSformer to 100% train
@@ -419,6 +421,7 @@ def test_async_checkpoint_snapshots_at_call_time(monkeypatch, tmp_path):
     np.testing.assert_allclose(got, ref_leaf, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_overfit_through_device_augment(monkeypatch):
     """Trainability of the raw-clip device-augment path: the SAME train step
     that fuses augment_batch must drive a tiny model to perfect train top-1
