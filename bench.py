@@ -40,7 +40,10 @@ def main():
 
     batch = 8
     n_batches = 4
-    reps = 16
+    reps = 32  # 1024 clips/dispatch: relay round-trip < 1% of the window
+                # (reps=16 measured 336.6, 32 measured 338.8; batch 16 is
+                # WORSE — 310 clips/s — the fused kernels' VMEM working set
+                # spills past the sweet spot)
     videos = jnp.asarray(
         np.random.RandomState(0).rand(n_batches, batch, 8, 3, 224, 224),
         jnp.float32)
@@ -70,11 +73,11 @@ def main():
     # axon relay platform block_until_ready can return before execution)
     np.asarray(infer_sustained(params, head_params, videos)[0])
 
-    # steady-state throughput: 512 clips in one dispatch; the single relay
-    # round-trip is ~24 ms of a ~1.5 s run (<2%). Best-of-2 guards against a
+    # steady-state throughput: 1024 clips in one dispatch; the single relay
+    # round-trip is ~24 ms of a ~3 s run (<1%). Best-of-3 guards against a
     # tunnel hiccup landing inside one timing window.
     rates = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         c, _ = infer_sustained(params, head_params, videos)
         np.asarray(c)

@@ -27,7 +27,9 @@ def _sync(x):
     np.asarray(jax.tree.leaves(x)[0])
 
 
-def _throughput(run, args, n_batches, batch, reps=3):
+def _throughput(run, args, n_batches, batch, reps=10):
+    # reps pipelined dispatches share ONE relay round-trip (~24 ms): at
+    # reps=3 that was still ~8% of the window; 10 puts it under 2.5%
     _sync(run(*args))  # compile
     t0 = time.perf_counter()
     out = None

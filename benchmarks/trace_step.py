@@ -33,6 +33,41 @@ def run_traced_steps(batch_size, steps, trace_dir, config="finetune"):
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer
 
     rng = np.random.RandomState(0)
+    if config == "inference":
+        # mirror bench.py's headline program: bf16 TimeSformer-B forward,
+        # one scan over distinct batches inside a single dispatch
+        from videotransformer_tpu.models import TimeSformer
+        from videotransformer_tpu.ops.blocks import ClassificationHead
+
+        model = TimeSformer(num_frames=8, img_size=224,
+                            attention_type="divided_space_time",
+                            dtype=jnp.bfloat16)
+        head = ClassificationHead(400, 768, dtype=jnp.bfloat16)
+        videos = jnp.asarray(
+            rng.rand(4, batch_size, 8, 3, 224, 224), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), videos[0])["params"]
+        head_params = jax.jit(head.init)(
+            jax.random.PRNGKey(1), jnp.zeros((1, 768)))["params"]
+
+        @jax.jit
+        def infer(params, head_params, videos):
+            def body(c, v):
+                feats = model.apply({"params": params}, v)
+                return c, head.apply({"params": head_params}, feats)
+            _, out = jax.lax.scan(body, 0, videos)
+            return out
+
+        np.asarray(infer(params, head_params, videos))  # compile
+        t0 = time.perf_counter()
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(steps):
+            out = infer(params, head_params, videos)
+        np.asarray(out)
+        jax.profiler.stop_trace()
+        wall_ms = (time.perf_counter() - t0) / steps * 1000
+        print(f"wall per dispatch (4 batches of {batch_size}): {wall_ms:.1f} ms"
+              f" = {4 * batch_size / wall_ms * 1000:.1f} clips/s")
+        return wall_ms
     if config == "maskfeat":
         cfg = SimpleNamespace(
             objective="mim", arch="mvit", attention_type="divided_space_time",
@@ -170,7 +205,7 @@ def main():
     ap.add_argument("--trace_dir", default="/tmp/vt_trace")
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument("--config", default="finetune",
-                    choices=("finetune", "maskfeat"))
+                    choices=("finetune", "maskfeat", "inference"))
     args = ap.parse_args()
     if not args.analyze_only:
         os.makedirs(args.trace_dir, exist_ok=True)
