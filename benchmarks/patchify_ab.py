@@ -27,12 +27,17 @@ from jax import lax
 
 
 def time_fn(fn, *args, reps=50):
+    """One jit dispatch containing a scan with a REAL loop-carried dependency:
+    the input is perturbed by 0*carry and the carry is read from the output.
+    (An earlier version carried `c + out[0]*0`, which leaves the body
+    loop-invariant — XLA hoists it out of the scan and the measurement
+    collapses to one execution + the relay round-trip.)"""
     @jax.jit
     def run(*a):
         def body(c, _):
-            out = fn(*a)
-            # fold a scalar of the output into the carry: loop-carried dep
-            return c + out.astype(jnp.float32).ravel()[0] * 0.0, None
+            perturbed = (a[0] + jnp.asarray(0.0 * c, a[0].dtype),) + a[1:]
+            out = fn(*perturbed)
+            return out.astype(jnp.float32).ravel()[0], None
         c, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c
 
