@@ -15,13 +15,24 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip absent")
-def test_notebook_executes(tmp_path):
+def test_notebook_executes(tmp_path, monkeypatch):
     import nbformat
     from nbclient import NotebookClient
 
     nb = nbformat.read(NB_PATH, as_version=4)
-    # the conftest env (JAX_PLATFORMS=cpu) is inherited by the kernel
-    env = dict(os.environ)
+    # the kernel is a child process: it inherits os.environ (JAX_PLATFORMS=cpu
+    # from conftest) but NOT pytest's sys.path, so the repo root must be on
+    # PYTHONPATH for `import videotransformer_tpu` to resolve from the
+    # tmp_path working directory
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    prev = os.environ.get("PYTHONPATH", "")
+    monkeypatch.setenv(
+        "PYTHONPATH", repo_root + (os.pathsep + prev if prev else ""))
+    # keep the kernel on CPU: the axon sitecustomize registers the TPU
+    # backend (and overrides JAX_PLATFORMS) whenever PALLAS_AXON_POOL_IPS is
+    # set — without this the notebook hogs the real chip for minutes
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     client = NotebookClient(
         nb, timeout=1200, kernel_name="python3",
         resources={"metadata": {"path": str(tmp_path)}})
@@ -32,4 +43,4 @@ def test_notebook_executes(tmp_path):
         "".join(out.get("text", "") for out in cell.get("outputs", [])
                 if out.get("output_type") == "stream")
         for cell in nb.cells if cell.cell_type == "code")
-    assert "predicted" in text.lower() or "class" in text.lower(), text
+    assert "prediction" in text.lower(), text
