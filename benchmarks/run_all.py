@@ -284,6 +284,46 @@ def bench_finetune_step(batch_sizes=(8, 16, 32), remat_from=32):
             "train_mfu_vs_197tf_peak": round(achieved / 197, 3)}), flush=True)
 
 
+def bench_eval_step(batch=8):
+    """Val (CenterCrop) and test (ThreeCrop) eval steps with the device-side
+    preprocess fused in, on raw uint8 clips — the counterpart of the
+    reference's published val/test rate (~2.2-2.3 it/s at batch 8 =
+    ~17.8 clips/s/GPU, demo/log…txt validating/testing lines)."""
+    from types import SimpleNamespace
+
+    from videotransformer_tpu.parallel.mesh import shard_batch
+    from videotransformer_tpu.training.trainer import VideoTransformerTrainer
+
+    cfg = SimpleNamespace(
+        objective="supervised", arch="timesformer",
+        attention_type="divided_space_time", num_class=400, num_frames=8,
+        img_size=224, batch_size=batch, optim_type="adamw", lr=5e-3,
+        lr_schedule="cosine", warmup_epochs=5, min_lr=1e-6,
+        weight_decay=0.05, weight_decay_end=0.05, clip_grad=1.0, seed=0,
+        mixup=True, eval_metrics="finetune", layer_decay=1.0, use_fp16=True,
+        device_augment=True, data_statics="kinetics")
+    tr = VideoTransformerTrainer(cfg, ckpt_dir=None)
+    rng = np.random.RandomState(0)
+    hb = {"raw_video": (rng.rand(batch, 8, 256, 342, 3) * 255
+                        ).astype(np.uint8),
+          "label": (np.arange(batch) % 400).astype(np.int32)}
+    sb = shard_batch(tr.mesh, tr._pad_eval_batch(hb, n_crops=1))
+    for name, n_crops in (("val_center_crop", 1), ("test_three_crop", 3)):
+        run = lambda: tr._eval_step(tr.params, sb, n_crops)
+        _sync(run())  # compile
+        reps = 10
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run()
+        _sync(out)
+        ms = (time.perf_counter() - t0) / reps * 1000
+        print(json.dumps({
+            "config": f"timesformer_b_8f_224_eval_step_{name}_b{batch}",
+            "ms_per_step": round(ms, 1),
+            "clips_per_sec": round(batch / (ms / 1000), 1)}), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
@@ -300,6 +340,7 @@ def main():
         bench_inference("vivit", "fact_encoder", 16,
                         "vivit_b_fact_encoder_16f_224_infer")
         bench_mvit_inference()
+        bench_eval_step()
         bench_maskfeat_step()
         bench_finetune_step()
 
