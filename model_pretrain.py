@@ -128,6 +128,15 @@ def parse_args(argv=None):
                         help="GPipe microbatches per step (0 = pp stage "
                              "count); more microbatches shrink the pipeline "
                              "bubble but must divide the batch size")
+    parser.add_argument("-scan_layers", type=bool, default=False,
+                        help="run the transformer block stack as one "
+                             "lax.scan over stacked per-layer params "
+                             "(training/stacked_trainer.py). Same numerics "
+                             "and pp-interchangeable checkpoints; NB on v5e "
+                             "at 12 layers this measured SLOWER than the "
+                             "unrolled default (see the module docstring) — "
+                             "opt-in for much deeper stacks or HLO-size-"
+                             "bound builds")
 
     return parser.parse_args(argv)
 
@@ -232,6 +241,11 @@ def single_run(argv=None):
         from videotransformer_tpu.training.pp_trainer import PipelineTrainer
 
         trainer_cls = PipelineTrainer
+    elif args.scan_layers:
+        from videotransformer_tpu.training.stacked_trainer import (
+            ScanLayersTrainer)
+
+        trainer_cls = ScanLayersTrainer
     trainer = trainer_cls(
         configs=args, ckpt_dir=ckpt_dir, do_eval=do_eval, do_test=do_test,
         log_dir=log_dir)
