@@ -129,9 +129,14 @@ def base_name(name):
     return name
 
 
-def categorize(name):
+def categorize(name, long_name=""):
     n = name.lower()
+    # the event name is the HLO instruction name (often just the flax module
+    # path, e.g. MViT's "attn.62" / "blocks_15.3"); the long_name carries the
+    # opcode — " custom-call(" identifies Pallas/Mosaic kernels reliably
+    ln = long_name.lower()
     if ("custom-call" in n or "mosaic" in n or "tpu_custom_call" in n
+            or " custom-call(" in ln or "= custom-call(" in ln
             or "_prenorm_mhsa" in n or "_mhsa_bwd" in n or "flash" in n
             or n.startswith(("ffns_", "ffn_bwd", "temporal_pack",
                              "blockdiag"))):
@@ -185,7 +190,8 @@ def analyze(trace_dir, steps, top=20):
         if name.startswith("jit_") or name.replace(".", "").isdigit():
             continue  # program wrapper / step marker: nests the real ops
         dur_ms = e.get("dur", 0) / 1000.0
-        by_cat[categorize(name)] += dur_ms
+        long_name = (e.get("args") or {}).get("long_name", "")
+        by_cat[categorize(name, long_name)] += dur_ms
         by_op[base_name(name)] += dur_ms
         total += dur_ms
     per_step = total / steps
