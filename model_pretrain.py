@@ -161,8 +161,47 @@ def _resolve_resume_checkpoint(ckpt_dir):
     return max(candidates, key=os.path.getmtime)
 
 
+def validate_parallel_flags(args):
+    """Fail fast on -tp/-sp values the model geometry can't shard.
+
+    parallel/tp.shard_params_tp would otherwise quietly fall back to
+    replication for non-divisible leaves — a `-tp 5` run would train
+    CORRECTLY but with tensor parallelism silently off for exactly the
+    kernels it was requested for. B/16 geometry: 12 heads; patch grid
+    (img_size/16)^2; ViViT's tubelet embed halves the frame count."""
+    tp, sp = getattr(args, "tp", 1), getattr(args, "sp", 1)
+    if tp > 1:
+        if args.arch == "mvit":
+            raise SystemExit(
+                "-tp > 1 is not supported for -arch mvit: MViT's per-block "
+                "head counts start at 1 (stage 0), which no model-axis size "
+                "can split. Use -sp/-pp or data parallelism.")
+        num_heads = 12  # B/16 builders (models/timesformer.py, vivit.py)
+        if num_heads % tp:
+            raise SystemExit(
+                f"-tp {tp} does not divide the attention head count "
+                f"({num_heads} for {args.arch}-B/16); pick tp in "
+                f"{[d for d in range(1, num_heads + 1) if num_heads % d == 0]}. "
+                "Non-divisible tp would silently replicate the qkv/ffn "
+                "params and run without tensor parallelism.")
+    if sp > 1:
+        if args.attention_type not in ("divided_space_time", "fact_encoder"):
+            raise SystemExit(
+                f"-sp > 1 requires divided attention rows "
+                f"(attention_type divided_space_time/fact_encoder), got "
+                f"{args.attention_type}")
+        frames = args.num_frames // 2 if args.arch == "vivit" else args.num_frames
+        patches = (args.img_size // 16) ** 2
+        if frames % sp or patches % sp:
+            raise SystemExit(
+                f"-sp {sp} must divide both the (effective) frame count "
+                f"({frames}) and the patch count ({patches}); a "
+                f"non-divisible sp falls back to unsharded attention rows.")
+
+
 def single_run(argv=None):
     args = parse_args(argv)
+    validate_parallel_flags(args)
     warnings.filterwarnings("ignore")
 
     import jax

@@ -147,8 +147,16 @@ class Kinetics:
         if self.objective == "mim":
             # mask grid = img_size / (patch stride 4 * pooling downsample 4):
             # 14 for the reference's 224 geometry (dataset.py:188 hardwires
-            # (T/2, 14, 14)); derived here so small test geometries work
-            self.mask_grid = getattr(configs, "img_size", 224) // 16
+            # (T/2, 14, 14)); derived here so small test geometries work.
+            # The divisor encodes MViT-B's stride-4 patchify x 2 stride-2
+            # pooling stages — a non-multiple img_size would silently floor
+            # and desync the mask/HOG grid from the model's token grid.
+            img_size = getattr(configs, "img_size", 224)
+            if img_size % 16:
+                raise ValueError(
+                    f"mim objective requires img_size % 16 == 0 (patch "
+                    f"stride 4 x pooling downsample 4); got {img_size}")
+            self.mask_grid = img_size // 16
             self.mask_generator = CubeMaskGenerator(
                 input_size=(self.target_video_len // 2, self.mask_grid,
                             self.mask_grid),

@@ -156,6 +156,13 @@ def fused_sharded_call(fn, x, lns, lnb, w_col, b_col, w_row, b_row,
     """
     from videotransformer_tpu.parallel import tp as vt_tp
 
+    # mutually exclusive by construction: token_major is the FFN path,
+    # qkv_head_dim the MHSA path. The head-block permutation below is applied
+    # before the token-major cls-peel fallbacks, so a combined caller would
+    # silently hand head_fn/fn permuted weights — fail loudly instead.
+    assert not (token_major and qkv_head_dim is not None), (
+        "fused_sharded_call: token_major and qkv_head_dim are exclusive")
+
     if not vt_tp.active():
         if token_major:
             return token_sharded_call(

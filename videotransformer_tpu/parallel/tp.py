@@ -94,9 +94,18 @@ def tp_spec(path_parts, leaf) -> P:
 
 
 def shard_params_tp(mesh: Mesh, params):
-    """device_put a param tree with tensor-parallel shardings."""
+    """device_put a param tree with tensor-parallel shardings.
+
+    A leaf whose sharded dim does not divide the model-axis size is placed
+    replicated instead — correct numerics, but the tensor parallelism the
+    user asked for is OFF for that kernel, so the fallback is loud: every
+    such leaf is warned about (the CLI additionally rejects non-divisible
+    ``-tp`` up front, model_pretrain.validate_parallel_flags)."""
+    import warnings
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
+    fallbacks = []
     for path, leaf in flat:
         parts = tuple(str(getattr(k, "key", k)) for k in path)
         spec = tp_spec(parts, leaf)
@@ -105,6 +114,16 @@ def shard_params_tp(mesh: Mesh, params):
         for dim, axis in enumerate(spec):
             if axis == "model" and leaf.shape[dim] % mesh.shape["model"] != 0:
                 ok = False
+        if not ok:
+            fallbacks.append(("/".join(parts), leaf.shape))
         sharding = NamedSharding(mesh, spec if ok else P())
         out.append(jax.device_put(leaf, sharding))
+    if fallbacks:
+        shown = ", ".join(f"{n}{s}" for n, s in fallbacks[:4])
+        warnings.warn(
+            f"shard_params_tp: {len(fallbacks)} param leaf(s) do not divide "
+            f"the model axis (size {mesh.shape['model']}) and were placed "
+            f"REPLICATED — tensor parallelism is off for them: {shown}"
+            + (", ..." if len(fallbacks) > 4 else ""),
+            stacklevel=2)
     return jax.tree_util.tree_unflatten(treedef, out)
