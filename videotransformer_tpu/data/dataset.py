@@ -157,10 +157,30 @@ class Kinetics:
                     f"mim objective requires img_size % 16 == 0 (patch "
                     f"stride 4 x pooling downsample 4); got {img_size}")
             self.mask_grid = img_size // 16
-            self.mask_generator = CubeMaskGenerator(
+            # min_num_patches=16 matches the reference at its only geometry
+            # (14x14 grid, 78-patch budget); clamp to the budget so tiny test
+            # grids don't degenerate — e.g. a 6x6 grid has a 14-patch budget,
+            # and min 16 > 14 makes the BEiT rejection loop fail all 10
+            # attempts ~half the time, yielding an all-zero mask (loss 0,
+            # grad_norm 0) with a cube_marker still appended.
+            budget = int(self.mask_grid * self.mask_grid * 0.4)
+            self._cube_generator = CubeMaskGenerator(
                 input_size=(self.target_video_len // 2, self.mask_grid,
                             self.mask_grid),
-                min_num_patches=16)
+                min_num_patches=min(16, budget))
+
+    def mask_generator(self):
+        """One non-empty cube-mask draw. The BEiT rejection loop can fail all
+        its attempts on tiny grids even with the clamped min (the target area
+        pins to the full budget and the aspect acceptance window is narrow),
+        leaving an all-zero mask whose sample contributes loss 0 / grad 0;
+        bounded redraw keeps smoke-test geometry healthy while never engaging
+        at the reference's 14x14 grid (empty draws don't occur there)."""
+        for _ in range(20):
+            mask, cube_marker = self._cube_generator()
+            if mask.any():
+                return mask, cube_marker
+        return mask, cube_marker
 
     def __getitem__(self, index):
         from videotransformer_tpu.data.video_reader import VideoReader
@@ -192,8 +212,16 @@ class Kinetics:
                 index = random.randint(0, len(self.data) - 1)
 
         if self.raw_clips:
-            return (canonicalize_raw_clip(video, self.canonical_hw),
-                    self.data[index]["label"])
+            clip = canonicalize_raw_clip(video, self.canonical_hw)
+            if self.objective == "mim":
+                # fully-device mim hot path: ship ONE uint8 canonical clip;
+                # the train step runs the mim geometric augment (RRC 0.5-1.0
+                # + flip) on device and derives BOTH the normalized model
+                # input and the HOG targets from it. Mask drawing stays on
+                # host (cheap numpy, needs python RNG semantics).
+                mask, cube_marker = self.mask_generator()
+                return clip, mask, cube_marker
+            return clip, self.data[index]["label"]
 
         # (T, H, W, C) -> (T, C, H, W), matching the reference layout
         video = np.ascontiguousarray(video.transpose(0, 3, 1, 2)).astype(np.float32)

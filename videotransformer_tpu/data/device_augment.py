@@ -344,12 +344,19 @@ def rand_augment_clip(key, clip, num_ops=2, magnitude=9, bins=31):
 def augment_clip(key, clip, out_size=224, scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), hflip=0.5, color=(0.4, 0.4, 0.4, 0.0),
                  auto_augment=False,
-                 mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225)):
+                 mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225),
+                 with_raw=False):
     """One clip (T, H, W, C) uint8 -> (T, C, S, S) normalized float32.
 
     ``auto_augment=True`` inserts RandAugment after crop+flip and disables
     color jitter — the reference's RandAugment-OR-ColorJitter rule
-    (data_transform.py:519-529)."""
+    (data_transform.py:519-529).
+
+    ``with_raw=True`` additionally returns the augmented clip BEFORE
+    ToTensor+Normalize ((T, C, S, S) float32 in [0, 255]) — the mim
+    objective's HOG targets read exactly these pixels (the reference splits
+    its transform into [geometric, ToTensor+Normalize] for the same reason,
+    data_trainer.py:61-66 / data_transform.py:540-543)."""
     k_rrc, k_flip, k_jit = jax.random.split(key, 3)
     clip = clip.astype(jnp.float32)
     T_, H, W, C = clip.shape
@@ -361,24 +368,31 @@ def augment_clip(key, clip, out_size=224, scale=(0.08, 1.0),
         out = rand_augment_clip(k_jit, out)
     elif any(color):
         out = color_jitter(k_jit, out, *color)
+    raw = out
     out = out / 255.0
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
-    out = (out - mean) / std
-    return out.transpose(0, 3, 1, 2)  # (T, C, S, S)
+    out = ((out - mean) / std).transpose(0, 3, 1, 2)  # (T, C, S, S)
+    if with_raw:
+        return out, raw.transpose(0, 3, 1, 2)
+    return out
 
 
 @partial(jax.jit, static_argnames=("out_size", "scale", "ratio", "hflip",
-                                   "color", "auto_augment", "mean", "std"))
+                                   "color", "auto_augment", "mean", "std",
+                                   "with_raw"))
 def augment_batch(key, batch, out_size=224, scale=(0.08, 1.0),
                   ratio=(3 / 4, 4 / 3), hflip=0.5, color=(0.4, 0.4, 0.4, 0.0),
                   auto_augment=False,
-                  mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225)):
-    """batch (B, T, H, W, C) uint8 -> (B, T, C, S, S); one key per clip."""
+                  mean=(0.45, 0.45, 0.45), std=(0.225, 0.225, 0.225),
+                  with_raw=False):
+    """batch (B, T, H, W, C) uint8 -> (B, T, C, S, S); one key per clip.
+    ``with_raw`` -> (normalized, unnormalized-[0,255]) pair (see
+    augment_clip)."""
     keys = jax.random.split(key, batch.shape[0])
     fn = partial(augment_clip, out_size=out_size, scale=scale, ratio=ratio,
                  hflip=hflip, color=color, auto_augment=auto_augment,
-                 mean=mean, std=std)
+                 mean=mean, std=std, with_raw=with_raw)
     return jax.vmap(fn)(keys, batch)
 
 

@@ -33,6 +33,18 @@ def collate_supervised(samples):
     return {"video": videos, "label": labels}
 
 
+def collate_mim_raw(samples, max_cubes=8):
+    """Fully-device mim batches: ONE uint8 canonical clip per sample
+    (B, T, H, W, C) + host-drawn mask/cube_marker. Compare collate_mim's
+    device-HOG branch, which ships TWO float32 clips (~8x the H2D bytes of
+    one uint8 clip); the train step augments and normalizes on device."""
+    videos = np.stack([s[0] for s in samples])
+    masks = np.stack([s[1] for s in samples]).astype(np.int32)
+    markers, counts = pad_cube_marker([s[2] for s in samples], max_cubes)
+    return {"raw_video": videos, "mask": masks,
+            "cube_marker": markers, "cube_count": counts}
+
+
 def collate_mim(samples, max_cubes=8):
     """mim batch: (video, target, mask, cube_marker) per sample
     (data_trainer.py:15-36), with cube_marker padded to (B, max_cubes, 2).

@@ -11,7 +11,7 @@ import jax
 from videotransformer_tpu.data import transforms as T
 from videotransformer_tpu.data.dataset import Kinetics
 from videotransformer_tpu.data.pipeline import (
-    Loader, collate_mim, collate_raw, collate_supervised)
+    Loader, collate_mim, collate_mim_raw, collate_raw, collate_supervised)
 
 
 def dataset_statistics(name):
@@ -61,15 +61,19 @@ class KineticsDataModule:
         max_retries = getattr(cfg, "max_decode_retries", 100)
 
         self.device_augment = bool(getattr(cfg, "device_augment", False)) \
-            and cfg.objective == "supervised"
-        # device-side HOG for mim: -device_augment (or the narrower
-        # -device_hog) moves the per-frame host HOG loop (reference
-        # dataset.py:39-45, 190-196) into the jitted train step — the dataset
-        # ships the un-normalized pre-transform clip instead and
+            and cfg.objective in ("supervised", "mim")
+        # eval recipes run on device only for supervised (mim has no val/test
+        # loop, trainer.validate/test are supervised-only)
+        self.device_eval = self.device_augment and cfg.objective == "supervised"
+        # device-side HOG for mim without device augment (-device_hog alone):
+        # host geometric augment, then the dataset ships the un-normalized
+        # pre-transform clip alongside the normalized one and
         # trainer._build_train_step computes targets inside the input fusion
+        # (reference host loop: dataset.py:39-45, 190-196). With
+        # -device_augment the whole path moves on device instead: ONE uint8
+        # canonical clip per sample, augment + normalize + HOG in-step.
         if cfg.objective == "mim" and (
-                bool(getattr(cfg, "device_augment", False))
-                or bool(getattr(cfg, "device_hog", False))):
+                self.device_augment or bool(getattr(cfg, "device_hog", False))):
             self.host_hog_targets = False
 
         self.train_dataset = None
@@ -96,7 +100,7 @@ class KineticsDataModule:
                 max_decode_retries=max_retries)
 
         self.val_dataset = None
-        if self.val_ann_path and self.device_augment:
+        if self.val_ann_path and self.device_eval:
             # device-eval: raw canonical clips; Resize+CenterCrop+Normalize
             # run inside the jitted eval step (device_augment.
             # eval_preprocess_batch)
@@ -113,7 +117,7 @@ class KineticsDataModule:
                 temporal_sample=temporal_sample, max_decode_retries=max_retries)
 
         self.test_dataset = None
-        if self.test_ann_path and self.device_augment:
+        if self.test_ann_path and self.device_eval:
             self.test_dataset = Kinetics(
                 cfg, self.test_ann_path, transform=None,
                 temporal_sample=temporal_sample, raw_clips=True,
@@ -146,19 +150,20 @@ class KineticsDataModule:
         )
 
     def train_loader(self):
+        mim = self.configs.objective == "mim"
         if self.device_augment:
-            collate = collate_raw
+            collate = collate_mim_raw if mim else collate_raw
         else:
-            collate = collate_mim if self.configs.objective == "mim" else collate_supervised
+            collate = collate_mim if mim else collate_supervised
         return self._loader(self.train_dataset, shuffle=True, drop_last=True,
                             collate_fn=collate)
 
     def val_loader(self):
-        collate = collate_raw if self.device_augment else collate_supervised
+        collate = collate_raw if self.device_eval else collate_supervised
         return self._loader(self.val_dataset, shuffle=False, drop_last=False,
                             collate_fn=collate)
 
     def test_loader(self):
-        collate = collate_raw if self.device_augment else ThreeCropCollate()
+        collate = collate_raw if self.device_eval else ThreeCropCollate()
         return self._loader(self.test_dataset, shuffle=False, drop_last=False,
                             collate_fn=collate)

@@ -89,9 +89,14 @@ class StackedBlocksTrainer(VideoTransformerTrainer):
         return self._unstack_tree(self.params)
 
     def _canonical_opt_moments(self):
+        # canonical_moments() first: identity under stacking (flat_small is
+        # disabled whenever stacked_mask is set), but when the scan path is
+        # OFF the base optimizer may hold the fused-flat layout
         return (self.opt_state.step,
-                self._unstack_tree(self.opt_state.mu),
-                self._unstack_tree(self.opt_state.nu))
+                self._unstack_tree(
+                    self.optimizer.canonical_moments(self.opt_state.mu)),
+                self._unstack_tree(
+                    self.optimizer.canonical_moments(self.opt_state.nu)))
 
     def _unstack_tree(self, tree):
         if not (isinstance(tree, dict) and "model" in tree
@@ -107,8 +112,8 @@ class StackedBlocksTrainer(VideoTransformerTrainer):
     def _place_opt_moment(self, tree):
         if not (isinstance(tree, dict) and "model" in tree
                 and "transformer_layers" in tree["model"]):
-            return replicate(self.mesh, tree)
-        return self._place_params(tree)
+            return self.optimizer.runtime_moments(replicate(self.mesh, tree))
+        return self.optimizer.runtime_moments(self._place_params(tree))
 
     # -- optimizer ----------------------------------------------------
     def _make_optimizer(self, opt_tree):

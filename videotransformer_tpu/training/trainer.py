@@ -256,9 +256,15 @@ class VideoTransformerTrainer:
     def _make_optimizer(self, opt_tree):
         """``opt_tree`` is the HOST (canonical, unstacked) optimizer subtree;
         subclasses whose runtime param layout differs override this so the
-        optimizer masks match the runtime tree structure."""
+        optimizer masks match the runtime tree structure. The fused flat
+        small-leaf AdamW group (optimizer.py flat_small — collapses MViT's
+        ~150 tiny per-tensor update fusions) requires replicated params, so
+        it is on exactly when the mesh has no model axis."""
+        fused = dict(self.mesh.shape).get("model", 1) == 1 \
+            and bool(getattr(self.configs, "fused_adamw", True))
         return build_optimizer(self.configs, opt_tree,
-                               is_pretrain=not self.supervised)
+                               is_pretrain=not self.supervised,
+                               fused_flat=fused)
 
     def _canonical_params(self):
         """Runtime params -> the canonical checkpoint tree (identity here;
@@ -266,11 +272,15 @@ class VideoTransformerTrainer:
         return self.params
 
     def _canonical_opt_moments(self):
-        return (self.opt_state.step, self.opt_state.mu, self.opt_state.nu)
+        """Runtime moments -> the canonical (tree-shaped) checkpoint layout;
+        identity unless the optimizer stores its small-leaf group flat."""
+        return (self.opt_state.step,
+                self.optimizer.canonical_moments(self.opt_state.mu),
+                self.optimizer.canonical_moments(self.opt_state.nu))
 
     def _place_opt_moment(self, tree):
         """Canonical checkpoint moment tree -> runtime placement."""
-        return replicate(self.mesh, tree)
+        return self.optimizer.runtime_moments(replicate(self.mesh, tree))
 
     # ------------------------------------------------------------------
     def _opt_subtree(self, params):
@@ -315,6 +325,29 @@ class VideoTransformerTrainer:
             drop_key, mix_key = jax.random.split(key)
 
             if self.objective == "mim":
+                if "raw_video" in batch:
+                    # fully-device mim hot path: ONE uint8 canonical clip in;
+                    # the mim geometric recipe (RRC scale (0.5,1.0) + flip,
+                    # no jitter — reference data_trainer.py:61-66) runs on
+                    # device and yields BOTH the normalized model input and
+                    # the un-normalized pixels the HOG targets read
+                    from videotransformer_tpu.data.device_augment import (
+                        augment_batch)
+                    from videotransformer_tpu.training.data_module import (
+                        dataset_statistics)
+
+                    aug_key, _ = jax.random.split(mix_key)
+                    mean, std = dataset_statistics(
+                        getattr(cfg, "data_statics", "kinetics"))
+                    mim_video, mim_raw = augment_batch(
+                        aug_key, batch["raw_video"], out_size=cfg.img_size,
+                        scale=(0.5, 1.0), hflip=0.5, color=(0, 0, 0, 0),
+                        auto_augment=False, mean=mean, std=std,
+                        with_raw=True)
+                else:
+                    mim_video = batch["video"]
+                    mim_raw = batch.get("raw")  # host-augmented float path
+
                 def loss_fn(opt_sub):
                     full = self._merge_opt_subtree(params, opt_sub)
                     if "hog" in batch:
@@ -326,8 +359,7 @@ class VideoTransformerTrainer:
                         # dataset.py:190-196)
                         from videotransformer_tpu.data.hog import batched_hog_targets
 
-                        raw = batch["raw"]  # (B, T, C, H, W), 0..255
-                        frames = raw.transpose(0, 1, 3, 4, 2)
+                        frames = mim_raw.transpose(0, 1, 3, 4, 2)  # (B,T,H,W,C)
                         B, T = frames.shape[0], frames.shape[1]
                         markers = batch["cube_marker"]
                         centers = markers[..., 0] * 2 + markers[..., 1]  # (B, M)
@@ -340,7 +372,7 @@ class VideoTransformerTrainer:
                         target = jnp.einsum("bmt,bmhwc->bthwc", onehot, hog_m)
                     preds, loss = self.model.apply(
                         {"params": full["model"]},
-                        batch["video"], target, batch["mask"],
+                        mim_video, target, batch["mask"],
                         batch["cube_marker"], batch["cube_count"],
                         deterministic=False, rngs={"dropout": drop_key})
                     return loss, {}
