@@ -16,11 +16,13 @@ move device time:
   c. n192          — N=192 (sublane-aligned 24x8; isolates sublane padding)
   d. n128          — N=128 (the next lane granule down: the step function
                      the peel would need to cross to matter)
-  e. recip_softmax — N=197 with p*reciprocal(sum) instead of p/sum and the
-                     max/sum reductions kept in one fused pass (VPU lever)
-  f. lse_reuse     — backward skips the softmax max/sum recompute by saving
-                     (m, l) from forward (trades 2 VPU reductions for 2
-                     tiny HBM rows)
+
+Two in-kernel micro-variants were A/B'd through this harness: deferred
+softmax normalization (divide by the softmax sum after the PV matmul, on
+the narrow (rows, head_dim) output instead of the lane-padded probability
+tile) shipped into fused_mhsa_pallas.py as a strict VPU-work reduction;
+a 2-sequences-per-program unroll measured within relay noise in both
+directions across two runs and was rejected as complexity without a win.
 
 Each timing is one jitted dispatch scanning `reps` iterations with a real
 loop-carried dependency (see patchify_ab.time_fn for why).
@@ -29,15 +31,17 @@ Run on an idle host:  python benchmarks/mhsa_ab.py [--fwd-only]
 """
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental import pallas as pl
 
 from videotransformer_tpu.kernels import fused_mhsa_pallas as fm
 

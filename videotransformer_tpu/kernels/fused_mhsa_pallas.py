@@ -122,6 +122,10 @@ def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             o_ref, *rest, num_heads, scale, ln_eps, add_residual,
             with_qkv=False, block_diag=0):
+    # NB a 2-sequences-per-program variant (unroll two independent sequences
+    # so Mosaic interleaves one's VPU softmax under the other's matmuls) was
+    # A/B'd on hardware and measured within relay noise in both directions
+    # (benchmarks/mhsa_ab.py) — rejected as complexity without a win.
     x = x_ref[0]  # (N, D)
     N, D = x.shape
     # attention width from the qkv weight: D/tp under tensor parallelism
@@ -153,9 +157,12 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        return jnp.dot(p.astype(x.dtype), v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # deferred normalization (the flash-attention trick): divide by the
+        # softmax sum AFTER the PV matmul, on the (rows, head_dim) output
+        # instead of the (rows, N->256-lane-padded) probability tile —
+        # the wide fp32 divide was pure VPU overhead
+        o = jnp.dot(p.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        return (o / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
 
     outs = []
     for h in range(num_heads):
@@ -311,21 +318,26 @@ def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        p_c = p.astype(qkv.dtype)
-        dv = jax.lax.dot_general(  # p^T do
-            p_c, do_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # deferred normalization (see _sdpa): every 1/l is folded into a
+        # (rows, head_dim) operand; the (rows, N->lane-padded) fp32 tiles see
+        # one multiply (p_un * (dp - c)) instead of a divide + two multiplies
+        p_un = jnp.exp(s - m)
+        inv_l = 1.0 / jnp.sum(p_un, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(  # p^T do = p_un^T (do / l)
+            p_un.astype(qkv.dtype),
+            (do_h.astype(jnp.float32) * inv_l).astype(qkv.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(  # do v^T
             do_h, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-              ).astype(qkv.dtype)
-        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(  # ds^T q
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        c = jnp.sum(dp * p_un, axis=-1, keepdims=True) * inv_l
+        ds_un = (p_un * (dp - c)).astype(qkv.dtype)
+        dq = jnp.dot(ds_un, k, preferred_element_type=jnp.float32) \
+            * (scale * inv_l)
+        dk = jax.lax.dot_general(  # ds^T q = ds_un^T (q * scale / l)
+            ds_un,
+            (q.astype(jnp.float32) * (scale * inv_l)).astype(qkv.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dq, dk, dv
 
     dqs, dks, dvs = [], [], []
@@ -392,8 +404,7 @@ def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
     D = x.shape[-1]        # input/output width (full embed dim)
     row = lambda n: pl.BlockSpec((1, N, n), lambda i: (i, 0, 0))
     operands = [x, qkv, do]
-    in_specs = [row(D), pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
-                row(Da)]
+    in_specs = [row(D), row(D3), row(Da)]
     if add_residual:
         operands.append(g)
         in_specs.append(row(D))
@@ -414,8 +425,8 @@ def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
         grid=(B,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, N, D3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            row(D3),
+            row(D),
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((1, D3), lambda i: (0, 0)),
