@@ -28,6 +28,17 @@ if "parallel_codegen_split_count" not in _flags:
     _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = _flags
 
+# Persistent XLA compilation cache, shared by this process AND every CLI
+# subprocess the integration tests spawn (they inherit the env var). The
+# slow tier is compile-bound — the CLI tests rebuild near-identical train
+# programs per subprocess — so warm reruns drop multi-minute compiles to
+# sub-second cache loads (measured 31:40 cold -> see README). Keyed by
+# HLO + flags + jax version, so stale hits are impossible; delete the dir
+# to force cold compiles.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

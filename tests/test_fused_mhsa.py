@@ -63,6 +63,39 @@ def test_fused_gradients_match_reference():
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("add_residual", [True, False])
+def test_fused_gradients_match_reference_recompute_qkv(add_residual):
+    """The flash-style RECOMPUTE_QKV memory knob (backward rebuilds qkv from
+    x in VMEM instead of loading the saved residual) must produce the same
+    gradients as the saved-qkv default."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from videotransformer_tpu.kernels import fused_mhsa_pallas as fm
+
+    args = _args(B=2, N=64)
+    H, scale = 4, (64 // 4) ** -0.5
+
+    def loss_ref(*a):
+        return (fm._reference_jnp(*a, num_heads=H, scale=scale, ln_eps=1e-5,
+                                  add_residual=add_residual) ** 2).sum()
+
+    def loss_fused(*a):
+        return (fm.fused_prenorm_mhsa(*a, H, scale, 1e-5,
+                                      add_residual) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    assert fm.RECOMPUTE_QKV is False  # throughput default (module docstring)
+    try:
+        fm.RECOMPUTE_QKV = True
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    finally:
+        fm.RECOMPUTE_QKV = False
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_dispatch_gate():
     """CPU / short-N / return_attention must stay on the module path."""
     from videotransformer_tpu.ops.blocks import JointAttention

@@ -94,7 +94,7 @@ def _neff(n, block_diag):
 
 
 def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
-                 block_diag=0, Da=None):
+                 block_diag=0, Da=None, bwd_recompute=False):
     """Computed scoped-VMEM cap: stay at the 16MB default when everything
     fits (Mosaic pipelines best there — raising it at small N measured
     268 -> 248 clips/s), raise it only when the buffers genuinely need more
@@ -113,6 +113,9 @@ def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
         # (xf/xhat/d_xn/dxhat)
         need += N * 3 * D * itemsize + 3 * tile * tile * 4
         need += 3 * N * D * itemsize + 4 * N * D * 4
+    if bwd_recompute:
+        # recomputed xn + qkv live in VMEM instead of a qkv input block
+        need += N * 4 * D * itemsize
     need = int(need * 1.5)
     if need <= 16 * 1024 * 1024:
         return None
@@ -121,7 +124,7 @@ def _vmem_params(N, D, itemsize, num_heads, with_qkv=False, bwd=False,
 
 def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             o_ref, *rest, num_heads, scale, ln_eps, add_residual,
-            with_qkv=False, block_diag=0):
+            save_qkv=False, save_attn=False, block_diag=0):
     # NB a 2-sequences-per-program variant (unroll two independent sequences
     # so Mosaic interleaves one's VPU softmax under the other's matmuls) was
     # A/B'd on hardware and measured within relay noise in both directions
@@ -146,7 +149,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
         + bqkv_ref[:].astype(jnp.float32)
     ).astype(x.dtype)  # (N, 3D)
-    if with_qkv:
+    if save_qkv:
         rest[0][0] = qkv  # saved for the split backward pass
 
     def _sdpa(q, k, v):
@@ -177,8 +180,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             o = _sdpa(q, k, v)
         outs.append(o)
     attn_out = jnp.concatenate(outs, axis=-1)  # (N, Da)
-    if with_qkv:
-        rest[1][0] = attn_out  # saved for the projection backward
+    if save_attn:
+        rest[1 if save_qkv else 0][0] = attn_out  # for the projection bwd
 
     out = (
         jnp.dot(attn_out, wproj_ref[:], preferred_element_type=jnp.float32)
@@ -223,28 +226,34 @@ def _reference_jnp(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-         num_heads, scale, ln_eps, add_residual, with_qkv=False,
-         block_diag=0):
+         num_heads, scale, ln_eps, add_residual, save_qkv=False,
+         save_attn=False, block_diag=0):
     B, N, D = x.shape
     Da = wqkv.shape[1] // 3  # attention width (= D, or D/tp per model-shard)
     Do = wproj.shape[1]
     assert not add_residual or Do == D, (Do, D)
     grid = (B,)
     full = lambda *_: (0, 0)
+    row = lambda n: pl.BlockSpec((1, N, n), lambda i: (i, 0, 0))
 
-    out_shape = jax.ShapeDtypeStruct((B, N, Do), x.dtype)
-    if with_qkv:
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((B, N, 3 * Da), x.dtype),
-                     jax.ShapeDtypeStruct((B, N, Da), x.dtype))
+    out_shape = [jax.ShapeDtypeStruct((B, N, Do), x.dtype)]
+    out_specs = [row(Do)]
+    if save_qkv:
+        out_shape.append(jax.ShapeDtypeStruct((B, N, 3 * Da), x.dtype))
+        out_specs.append(row(3 * Da))
+    if save_attn:
+        out_shape.append(jax.ShapeDtypeStruct((B, N, Da), x.dtype))
+        out_specs.append(row(Da))
+    multi = len(out_shape) > 1
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, add_residual=add_residual,
-                          with_qkv=with_qkv, block_diag=block_diag),
-        out_shape=out_shape,
+                          save_qkv=save_qkv, save_attn=save_attn,
+                          block_diag=block_diag),
+        out_shape=tuple(out_shape) if multi else out_shape[0],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N, D), lambda i: (i, 0, 0)),
+            row(D),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D, 3 * Da), full),
@@ -252,14 +261,10 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((Da, Do), full),
             pl.BlockSpec((Do,), lambda i: (0,)),
         ],
-        out_specs=(
-            (pl.BlockSpec((1, N, Do), lambda i: (i, 0, 0)),
-             pl.BlockSpec((1, N, 3 * Da), lambda i: (i, 0, 0)),
-             pl.BlockSpec((1, N, Da), lambda i: (i, 0, 0)))
-            if with_qkv else pl.BlockSpec((1, N, Do), lambda i: (i, 0, 0))),
+        out_specs=tuple(out_specs) if multi else out_specs[0],
         compiler_params=_vmem_params(N, D, x.dtype.itemsize, num_heads,
-                                     with_qkv=with_qkv, block_diag=block_diag,
-                                     Da=Da),
+                                     with_qkv=save_qkv or save_attn,
+                                     block_diag=block_diag, Da=Da),
         cost_estimate=pl.CostEstimate(
             flops=B * (2 * N * D * 3 * Da + 4 * N * _neff(N, block_diag) * Da
                        + 2 * N * Da * Do),
@@ -280,10 +285,10 @@ def fused_prenorm_mhsa(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                 num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
 
 
-def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
-                     num_heads, scale, ln_eps, add_residual, block_diag=0):
+def _attn_bwd_kernel(*refs, num_heads, scale, ln_eps, add_residual,
+                     block_diag=0, recompute_qkv=False):
     """Backward of LN -> qkv -> attention in one kernel, on the packed
-    (N, 3D) layout of the saved qkv.
+    (N, 3D) layout of the qkv activations.
 
     Produces d(qkv) (written to HBM for the XLA weight-grad einsums), the
     COMPLETE input gradient dx (d_xn = dqkv @ W_qkv^T, LayerNorm backward,
@@ -292,19 +297,51 @@ def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
     the input-grad chain in removed the per-layer XLA LN-backward fusions
     and the fp32 d_xn round trip (~0.5 ms/layer on the batch-8 step); the
     weight grads stay in XLA where the single large einsum over (B*N) wins
-    (see the whole-chain-backward A/B note in the module docstring)."""
+    (see the whole-chain-backward A/B note in the module docstring).
+
+    ``recompute_qkv``: flash-style rematerialization — the forward kernel
+    does not save the (N, 3D) qkv to HBM at all; this kernel recomputes it
+    from ``x`` (already an input for the LayerNorm backward) with one
+    in-VMEM matmul, trading ~2·N·D·3D recompute FLOPs on an idle-anyway MXU
+    for a (B, N, 3D) HBM store in forward plus the matching load here."""
     i = pl.program_id(0)
+    if recompute_qkv:
+        x_ref, do_ref = refs[:2]
+        k = 2
+    else:
+        x_ref, qkv_ref, do_ref = refs[:3]
+        k = 3
     if add_residual:
-        g_ref, lns_ref, wqkv_ref = maybe_g_lns_w[:3]
-        (dqkv_ref, dx_ref, dlns_ref, dlnb_ref,
-         dbqkv_ref) = maybe_g_lns_w[3:]
+        g_ref = refs[k]
+        k += 1
     else:
         g_ref = None
-        lns_ref, wqkv_ref = maybe_g_lns_w[:2]
-        (dqkv_ref, dx_ref, dlns_ref, dlnb_ref,
-         dbqkv_ref) = maybe_g_lns_w[2:]
-    qkv = qkv_ref[0]  # (N, 3D)
+    if recompute_qkv:
+        lns_ref, lnb_ref, wqkv_ref, bqkv_ref = refs[k:k + 4]
+        k += 4
+    else:
+        lns_ref, wqkv_ref = refs[k:k + 2]
+        k += 2
+    dqkv_ref, dx_ref, dlns_ref, dlnb_ref, dbqkv_ref = refs[k:]
+
     do = do_ref[0]    # (N, D)
+    # LayerNorm stats up front: shared by the qkv recompute (when on) and
+    # the LayerNorm backward at the bottom
+    xf = x_ref[0].astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mean) * rstd
+
+    if recompute_qkv:
+        xn = (xhat * lns_ref[:].astype(jnp.float32)
+              + lnb_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+        qkv = (
+            jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:].astype(jnp.float32)
+        ).astype(x_ref.dtype)  # (N, 3D)
+    else:
+        qkv = qkv_ref[0]  # (N, 3D)
     N, D3 = qkv.shape
     D = D3 // 3
     hd = D // num_heads
@@ -362,15 +399,10 @@ def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
     dbqkv_blk = dqkv.astype(jnp.float32).sum(axis=0, keepdims=True)
 
     # d_xn = dqkv @ W_qkv^T, then LayerNorm backward — all in VMEM
+    # (LN stats xhat/rstd computed once at the top of the kernel)
     d_xn = jax.lax.dot_general(
         dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (N, D) fp32
-    xf = x_ref[0].astype(jnp.float32)
-    mean = xf.mean(axis=-1, keepdims=True)
-    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + ln_eps)
-    xhat = (xf - mean) * rstd
-
     dlns_blk = (d_xn * xhat).sum(axis=0, keepdims=True)
     dlnb_blk = d_xn.sum(axis=0, keepdims=True)
     dxhat = d_xn * lns_ref[:].astype(jnp.float32)
@@ -394,29 +426,42 @@ def _attn_bwd_kernel(x_ref, qkv_ref, do_ref, *maybe_g_lns_w,
         dbqkv_ref[:] += dbqkv_blk
 
 
-def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
+def _attn_bwd(x, qkv, do, g, lns, lnb, wqkv, bqkv, num_heads, scale, ln_eps,
               add_residual, block_diag=0):
     """dqkv + complete dx (+ dlns/dlnb partials) in one kernel; `g` is the
     output gradient for the residual passthrough (None when the caller did
-    not add the residual)."""
-    B, N, D3 = qkv.shape
+    not add the residual). ``qkv=None`` selects the flash-style recompute
+    path (qkv rebuilt from x in VMEM; lnb/bqkv only used there)."""
+    B, N = x.shape[:2]
+    D3 = wqkv.shape[1]
     Da = D3 // 3           # attention width (local heads x head_dim)
     D = x.shape[-1]        # input/output width (full embed dim)
+    recompute = qkv is None
     row = lambda n: pl.BlockSpec((1, N, n), lambda i: (i, 0, 0))
-    operands = [x, qkv, do]
-    in_specs = [row(D), row(D3), row(Da)]
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,))
+    if recompute:
+        operands = [x, do]
+        in_specs = [row(D), row(Da)]
+    else:
+        operands = [x, qkv, do]
+        in_specs = [row(D), row(D3), row(Da)]
     if add_residual:
         operands.append(g)
         in_specs.append(row(D))
-    operands += [lns, wqkv]
-    in_specs += [pl.BlockSpec((D,), lambda i: (0,)),
-                 pl.BlockSpec((D, D3), lambda i: (0, 0))]
+    if recompute:
+        operands += [lns, lnb, wqkv, bqkv]
+        in_specs += [vec(D), vec(D),
+                     pl.BlockSpec((D, D3), lambda i: (0, 0)), vec(D3)]
+    else:
+        operands += [lns, wqkv]
+        in_specs += [vec(D), pl.BlockSpec((D, D3), lambda i: (0, 0))]
+    act_dtype = x.dtype
     return pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads, scale=scale,
                           ln_eps=ln_eps, add_residual=add_residual,
-                          block_diag=block_diag),
+                          block_diag=block_diag, recompute_qkv=recompute),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N, D3), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, D3), act_dtype),
             jax.ShapeDtypeStruct((B, N, D), x.dtype),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
@@ -431,24 +476,48 @@ def _attn_bwd(x, qkv, do, g, lns, wqkv, num_heads, scale, ln_eps,
             pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((1, D3), lambda i: (0, 0)),
         ),
-        compiler_params=_vmem_params(N, D, qkv.dtype.itemsize,
+        compiler_params=_vmem_params(N, D, act_dtype.itemsize,
                                      num_heads, bwd=True,
-                                     block_diag=block_diag, Da=Da),
+                                     block_diag=block_diag, Da=Da,
+                                     bwd_recompute=recompute),
         cost_estimate=pl.CostEstimate(
-            flops=B * N * (10 * _neff(N, block_diag) + 2 * D3) * D3 // 3,
-            bytes_accessed=5 * B * N * D3 * qkv.dtype.itemsize,
+            flops=B * N * (10 * _neff(N, block_diag) + 2 * D3) * D3 // 3
+            + (B * 2 * N * D * D3 if recompute else 0),
+            bytes_accessed=(4 if recompute else 5) * B * N * D3
+            * act_dtype.itemsize,
             transcendentals=B * N * _neff(N, block_diag) * num_heads,
         ),
     )(*operands)
 
 
+# Flash-style rematerialization switch: when True the forward kernel does
+# NOT write the (B, N, 3D) qkv residual to HBM; the backward kernel
+# recomputes it from x with one in-VMEM matmul. Hardware A/B at the train
+# shape (64x197x768 bf16, benchmarks/mhsa_ab.py): the forward saves cost
+# NOTHING (1.372 vs 1.374 ms — Mosaic overlaps the stores under the
+# compute-bound kernel) while the recompute matmul costs +0.235 ms fwd+bwd
+# (2.779 -> 3.014 ms; the MXU is not idle). So saving stays the THROUGHPUT
+# default; flip this on only as a memory knob — it frees the (B, N, 3D)
+# bf16 qkv residual (~58 MB/layer at batch 8) for ~8% slower attention
+# backward, a cheaper trade than full `-remat` when only residual memory
+# is tight. Both settings are gradient-tested (tests/test_fused_mhsa.py).
+RECOMPUTE_QKV = False
+
+
 def _vjp_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
              num_heads, scale, ln_eps, add_residual, block_diag):
-    out, qkv, attn_out = _fwd(
-        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-        num_heads, scale, ln_eps, add_residual, with_qkv=True,
-        block_diag=block_diag)
-    return out, (x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj)
+    if RECOMPUTE_QKV:
+        out, attn_out = _fwd(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_heads, scale, ln_eps, add_residual, save_attn=True,
+            block_diag=block_diag)
+        qkv = None
+    else:
+        out, qkv, attn_out = _fwd(
+            x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+            num_heads, scale, ln_eps, add_residual, save_qkv=True,
+            save_attn=True, block_diag=block_diag)
+    return out, (x, qkv, attn_out, ln_scale, ln_bias, wqkv, bqkv, wproj)
 
 
 def _vjp_bwd(num_heads, scale, ln_eps, add_residual, block_diag, res, g):
@@ -456,7 +525,7 @@ def _vjp_bwd(num_heads, scale, ln_eps, add_residual, block_diag, res, g):
     matmuls, d(qkv) runs through one Pallas kernel in the packed layout (no
     N×N matrix and no head relayouts in HBM), and the LN + qkv-matmul
     backward is hand-written (recomputes only the elementwise LN)."""
-    x, qkv, attn_out, ln_scale, ln_bias, wqkv, wproj = res
+    x, qkv, attn_out, ln_scale, ln_bias, wqkv, bqkv, wproj = res
     gf = g.astype(jnp.float32)
 
     # projection backward (out = attn_out @ wproj + bproj [+ x])
@@ -467,8 +536,8 @@ def _vjp_bwd(num_heads, scale, ln_eps, add_residual, block_diag, res, g):
                     ).astype(x.dtype)
 
     d_qkv, d_x, d_lns, d_lnb, d_bqkv = _attn_bwd(
-        x, qkv, do, g if add_residual else None, ln_scale, wqkv,
-        num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
+        x, qkv, do, g if add_residual else None, ln_scale, ln_bias, wqkv,
+        bqkv, num_heads, scale, ln_eps, add_residual, block_diag=block_diag)
     d_lns = d_lns[0].astype(ln_scale.dtype)
     d_lnb = d_lnb[0].astype(ln_scale.dtype)
     d_bqkv = d_bqkv[0].astype(wqkv.dtype)

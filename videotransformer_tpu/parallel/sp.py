@@ -193,6 +193,13 @@ def fused_sharded_call(fn, x, lns, lnb, w_col, b_col, w_row, b_row,
         return fn(x, lns, lnb, w_col, b_col, w_row, b_row)
 
     if qkv_head_dim is not None:
+        # NB this gather runs inside the traced step, so each step re-derives
+        # the permuted qkv weight before sharding (~3.5 MB copy per layer at
+        # B/16). Storing the weight pre-permuted at shard_params_tp placement
+        # would hoist it, but couples the runtime param layout to tp and
+        # forces an inverse permutation through every checkpoint/export/
+        # canonicalization path — rejected while tp>1 has no hardware to
+        # measure the ~0.2 ms/step it would buy (see PARITY.md §2.2 caveat).
         perm = vt_tp.qkv_head_block_perm(w_row.shape[0], heads, tpn)
         w_col = w_col[:, perm]
         b_col = b_col[perm]
