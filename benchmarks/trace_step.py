@@ -189,6 +189,10 @@ def analyze(trace_dir, steps, top=20):
         name = e.get("name", "")
         if name.startswith("jit_") or name.replace(".", "").isdigit():
             continue  # program wrapper / step marker: nests the real ops
+        if name.split(".")[0] in ("while", "conditional", "body", "cond"):
+            continue  # control-flow wrapper (lax.scan/while/cond): its
+            # duration covers every iteration, whose inner HLOs are already
+            # reported as their own events — summing both double counts
         dur_ms = e.get("dur", 0) / 1000.0
         long_name = (e.get("args") or {}).get("long_name", "")
         by_cat[categorize(name, long_name)] += dur_ms
