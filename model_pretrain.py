@@ -110,6 +110,12 @@ def parse_args(argv=None):
     parser.add_argument("-remat", type=bool, default=False,
                         help="activation rematerialization (jax.checkpoint) "
                              "per transformer block: less HBM, ~30%% more step time")
+    parser.add_argument("-fused_adamw", type=bool, default=True,
+                        help="fuse small float32 param leaves into one flat "
+                             "blocked buffer for the AdamW update "
+                             "(optimizer.py flat_small; wall-neutral on the "
+                             "bench host, far fewer scheduled ops; auto-off "
+                             "when a model mesh axis shards params)")
     parser.add_argument("-tp", type=int, default=1,
                         help="tensor-parallel mesh axis size (parallel/tp.py: "
                              "Megatron column/row shardings; must divide the "

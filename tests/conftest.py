@@ -28,13 +28,15 @@ if "parallel_codegen_split_count" not in _flags:
     _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = _flags
 
-# Persistent XLA compilation cache, shared by this process AND every CLI
-# subprocess the integration tests spawn (they inherit the env var). The
-# slow tier is compile-bound — the CLI tests rebuild near-identical train
-# programs per subprocess — so warm reruns drop multi-minute compiles to
-# sub-second cache loads (measured 31:40 cold -> see README). Keyed by
-# HLO + flags + jax version, so stale hits are impossible; delete the dir
-# to force cold compiles.
+# Persistent XLA compilation cache, shared by this process AND every child
+# process the tests spawn (they inherit the env var). Honesty note: a full
+# cold slow-tier run wrote ZERO cache entries — the tiny test geometries
+# all compile in <1 s (the suite is EXECUTION-bound: interpret-mode Pallas,
+# reference-torch golden math, real train loops), so the <10-min runnable
+# tier comes from the slow/heavy split (pyproject markers), not this cache.
+# The cache stays because it is free and catches any future big-compile
+# test. Keyed by HLO + flags + jax version, so stale hits are impossible;
+# delete the dir to force cold compiles.
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
@@ -42,6 +44,11 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The env var above only reaches spawned children: the sitecustomize module
+# already imported jax before this file ran, so THIS process must set the
+# cache dir through the live config.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 assert jax.default_backend() == "cpu", jax.default_backend()
 
 REFERENCE_DIR = "/root/reference"

@@ -17,6 +17,7 @@ def test_graft_entry_surface():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_dryrun_multichip_driver_contract():
     """Run the dryrun EXACTLY like the driver: a fresh process whose env does
     NOT pre-force virtual CPU devices (round 1 shipped a regression precisely

@@ -149,6 +149,7 @@ def test_single_run_device_augment_and_eval(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+@pytest.mark.heavy
 def test_single_run_sequence_parallel(tmp_path, monkeypatch):
     """-sp 2 end to end through the CLI: dp4 x sp2 mesh over the 8 virtual
     devices, train + val + test with the sequence-parallel activation
@@ -189,6 +190,7 @@ def test_single_run_sequence_parallel(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip not present")
+@pytest.mark.heavy
 def test_single_run_pipeline_parallel(tmp_path, monkeypatch):
     """-pp 2 end to end through the CLI: dp4 x pp2 mesh over the 8 virtual
     devices — PipelineTrainer selected, stacked block params pipe-sharded,

@@ -169,6 +169,7 @@ def test_augment_batch_auto_augment_path():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_trainer_device_augment_respects_auto_augment(monkeypatch):
     """End to end through the jitted train step: -device_augment True
     -auto_augment 'rand_aug' changes the augmented pixels vs no auto_augment

@@ -54,6 +54,7 @@ def _leaves_equal(a, b):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_orbax_mim_checkpoint_seeds_supervised(tmp_path, monkeypatch):
     from videotransformer_tpu.parallel.mesh import create_mesh, shard_batch
     from videotransformer_tpu.training import trainer as trainer_mod
@@ -130,6 +131,7 @@ def test_torch_maskfeat_ckpt_imports_with_zero_missing_keys(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip absent")
+@pytest.mark.heavy
 def test_cli_mim_pretrain_then_mvit_finetune(tmp_path, monkeypatch):
     """The full reference workflow through the CLI: -objective mim on the
     bundled demo clip, then -arch mvit -objective supervised -pretrain_pth

@@ -53,7 +53,8 @@ def _mim_batch(tr, with_hog):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("with_hog", [True, False])
+@pytest.mark.parametrize("with_hog", [
+    True, pytest.param(False, marks=pytest.mark.heavy)])
 def test_mim_train_step(mim_trainer, with_hog):
     tr = mim_trainer
     batch = _mim_batch(tr, with_hog)
@@ -121,6 +122,7 @@ def test_device_hog_matches_host_on_real_clip(tmp_path):
 @pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
                     reason="demo clip absent")
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_cli_mim_device_hog(tmp_path, monkeypatch):
     """-objective mim -device_hog True through the CLI: the data module stops
     computing host HOG, batches carry the raw clip, and the run trains
@@ -236,6 +238,7 @@ def test_data_module_mim_device_augment_batches(tmp_path):
 @pytest.mark.skipif(not __import__("os").path.exists(DEMO_MP4),
                     reason="demo clip absent")
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_cli_mim_device_augment(tmp_path, monkeypatch):
     """-objective mim -device_augment True end to end: device geometric
     augment + device HOG + single-uint8-clip shipping through the CLI."""
@@ -317,6 +320,7 @@ def test_data_module_device_hog_batches(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_mvit_supervised_features():
     """mvit supervised uses forward_features(x)[:, 0] (model_trainer.py:203-204)."""
     from videotransformer_tpu.training.trainer import VideoTransformerTrainer

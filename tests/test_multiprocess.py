@@ -40,6 +40,7 @@ def _parse(out):
     return parsed
 
 
+@pytest.mark.heavy
 def test_two_process_training_matches_single_process():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}

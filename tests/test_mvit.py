@@ -77,6 +77,7 @@ def _tiny_maskfeat():
     return MaskFeat(**TINY)
 
 
+@pytest.mark.heavy
 def test_maskfeat_forward_features_shapes():
     model = _tiny_maskfeat()
     x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 3, 32, 32), jnp.float32)
@@ -86,6 +87,7 @@ def test_maskfeat_forward_features_shapes():
     assert feats.shape == (2, 1 + 2 * 8 * 8 // 4, 192)  # spatial pooled 2x2
 
 
+@pytest.mark.heavy
 def test_maskfeat_mask_substitution():
     model = _tiny_maskfeat()
     x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 3, 32, 32), jnp.float32)
@@ -133,6 +135,7 @@ def test_maskfeat_loss_matches_reference_loop():
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_maskfeat_gradient_step():
     """One pretrain gradient step on the tiny config: loss finite, decoder and
     mask token receive gradients."""

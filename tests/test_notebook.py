@@ -15,6 +15,7 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.mark.skipif(not os.path.exists(DEMO_MP4), reason="demo clip absent")
+@pytest.mark.heavy
 def test_notebook_executes(tmp_path, monkeypatch):
     import nbformat
     from nbclient import NotebookClient

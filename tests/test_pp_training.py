@@ -71,6 +71,7 @@ def _assert_tree_close(a, b, rtol=5e-4, atol=1e-4):
                                    rtol=rtol, atol=atol)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("mixup", [False, True])
 def test_pp_train_step_matches_dp(monkeypatch, mixup):
     """dp4 x pp2 full train step == dp8 train step: loss, the reference's
@@ -121,6 +122,7 @@ def test_pp_eval_step_matches_dp(monkeypatch):
     assert int(s_pp["top5"]) == int(s_dp["top5"])
 
 
+@pytest.mark.heavy
 def test_pp_stochastic_depth_trains(monkeypatch):
     """drop_path_rate > 0 under pp: the per-layer linspace rate rides the
     stacked scan (BasicTransformerBlock dpr override) with per-(layer,

@@ -63,7 +63,8 @@ def _assert_tree_close(a, b, rtol=5e-4, atol=1e-4):
                                    rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("mixup", [False, True])
+@pytest.mark.parametrize("mixup", [
+    False, pytest.param(True, marks=pytest.mark.heavy)])
 def test_scan_train_step_matches_unrolled(monkeypatch, mixup):
     """scan-over-layers full train step == unrolled train step: loss, the
     reference's per-parameter-clipped grad_norm, and the updated params

@@ -36,6 +36,7 @@ def test_visualize_attention_smoke(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.skipif(not os.path.isdir(ASSETS), reason="demo assets not built")
+@pytest.mark.heavy
 def test_visualize_maskfeat_smoke(tmp_path):
     from videotransformer_tpu.tools import visualize_maskfeat as vm
 

@@ -373,6 +373,7 @@ def test_eval_padding_on_mesh(monkeypatch):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_remat_same_outputs_and_grads():
     """remat=True must not change forward values or gradients."""
     from videotransformer_tpu.models import TimeSformer
